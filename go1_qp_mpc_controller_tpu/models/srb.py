@@ -1,0 +1,256 @@
+"""Single-rigid-body (SRB) linearized dynamics and dense MPC condensation.
+
+TPU-native re-design of ConvexMpc (src/a1_cpp/src/ConvexMpc.cpp:110-245).
+State x = (roll, pitch, yaw, px, py, pz, wx, wy, wz, vx, vy, vz, g) with
+gravity as an extra constant state; input u = 12 world-frame ground-reaction
+forces. The reference builds A_qp/B_qp with nested C++ loops; here the block
+recursion
+
+    B_qp[i, :] = A_d @ B_qp[i-1, :],   then   B_qp[i, i] = B_d[i]
+
+runs as a ``lax.scan`` producing the full (H*13, H*12) matrix in H fused
+13x13 @ 13x120 matmuls, and the Hessian/gradient are single einsums that XLA
+maps onto the MXU, batched over scenarios.
+
+All functions operate on one scenario; batch with ``jax.vmap``.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.config import params as P
+from go1_qp_mpc_controller_tpu.utils import rotations
+
+H = P.PLAN_HORIZON
+NX = P.MPC_STATE_DIM   # 13
+NU = P.NUM_DOF         # 12
+NC1 = P.MPC_CONSTRAINT_DIM  # 20 per step
+
+
+class CondensedQP(NamedTuple):
+    """Dense condensed MPC QP: min 1/2 u'Pu + q'u  s.t. lb <= C u <= ub.
+
+    The constraint matrix C is not materialized — it is a fixed
+    block-diagonal friction-pyramid structure applied via
+    :func:`constraint_matvec` / :func:`constraint_rmatvec`.
+
+    Attributes:
+      hessian: (120, 120) P = 2 B' Qw B + 2 Rw (ConvexMpc.cpp:207-211).
+      gradient: (120,) q = 2 B' Qw (A_qp x0 - x_ref) (ConvexMpc.cpp:215-217).
+      lb: (200,) constraint lower bounds.
+      ub: (200,) constraint upper bounds.
+    """
+    hessian: jnp.ndarray
+    gradient: jnp.ndarray
+    lb: jnp.ndarray
+    ub: jnp.ndarray
+
+
+def calculate_A_c(root_euler):
+    """Continuous-time A (13x13) — ConvexMpc.cpp:110-130.
+
+    Only the yaw enters: the angular-velocity-to-rpy-rate map is approximated
+    by Rz(yaw)^T (the reference comments out the pitch terms).
+    """
+    dtype = root_euler.dtype
+    yaw = root_euler[..., 2]
+    a = jnp.zeros(root_euler.shape[:-1] + (NX, NX), dtype)
+    a = a.at[..., 0:3, 6:9].set(jnp.swapaxes(rotations.rot_z(yaw), -1, -2))
+    a = a.at[..., 3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+    a = a.at[..., 11, 12].set(1.0)
+    return a
+
+
+def calculate_B_c(mass, trunk_inertia, root_rot_mat, foot_pos):
+    """Continuous-time B (13x12) — ConvexMpc.cpp:132-143.
+
+    B[6:9, 3i:3i+3] = I_world^-1 skew(r_i), B[9:12, 3i:3i+3] = I/m, with
+    I_world = R I_body R'. Uses an explicit solve instead of forming the
+    inverse.
+
+    Args:
+      mass: () kg.
+      trunk_inertia: (3, 3) body-frame inertia.
+      root_rot_mat: (3, 3).
+      foot_pos: (4, 3) foot positions relative to CoM (world-aligned frame).
+    """
+    dtype = foot_pos.dtype
+    i_world = root_rot_mat @ trunk_inertia @ root_rot_mat.T
+    skews = rotations.skew(foot_pos)                      # (4, 3, 3)
+    # I_world^{-1} @ skew_i for all legs in one solve.
+    inv_skews = jnp.linalg.solve(i_world[None], skews)    # (4, 3, 3)
+    b = jnp.zeros((NX, NU), dtype)
+    eye_over_m = jnp.eye(3, dtype=dtype) / mass
+    for i in range(P.NUM_LEG):
+        b = b.at[6:9, 3 * i:3 * i + 3].set(inv_skews[i])
+        b = b.at[9:12, 3 * i:3 * i + 3].set(eye_over_m)
+    return b
+
+
+def discretize(a_c, b_c, dt):
+    """Forward-Euler discretization (ConvexMpc.cpp:145-156).
+
+    A_d = I + A_c dt, B_d = B_c dt — the reference's "simplified exp".
+    """
+    eye = jnp.eye(NX, dtype=a_c.dtype)
+    return eye + a_c * dt, b_c * dt
+
+
+def condense(a_d, b_d_list, x0, x_ref, q_weights, r_weights, contacts,
+             fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX):
+    """Build the dense condensed QP (ConvexMpc.cpp:158-245).
+
+    Args:
+      a_d: (13, 13) discrete A.
+      b_d_list: (H, 13, 12) per-step discrete B matrices.
+      x0: (13,) current MPC state.
+      x_ref: (H, 13) desired state trajectory.
+      q_weights: (13,) state weights (diag of Qw; the reference doubles them,
+        ConvexMpc.cpp:20).
+      r_weights: (12,) input weights.
+      contacts: (4,) bool/float contact flags scaling the fz box.
+      fz_min, fz_max: normal-force box (ConvexMpc.cpp:223-224).
+
+    Returns:
+      CondensedQP.
+    """
+    dtype = a_d.dtype
+
+    # --- A_qp rows: A_d^(i+1), and B_qp rows via the block recursion -----
+    def step(carry, b_d_i_and_idx):
+        a_pow_prev, b_row_prev = carry
+        b_d_i, i = b_d_i_and_idx
+        a_pow = jnp.where(i == 0, a_d, a_pow_prev @ a_d)
+        b_row = b_row_prev.reshape(NX, H * NU)
+        b_row = a_d @ b_row                       # shift previous row down
+        b_row = b_row.reshape(NX, H, NU)
+        b_row = jnp.where(
+            (jnp.arange(H) == i)[None, :, None], b_d_i[:, None, :], b_row)
+        return (a_pow, b_row), (a_pow, b_row)
+
+    init = (jnp.eye(NX, dtype=dtype), jnp.zeros((NX, H, NU), dtype))
+    idx = jnp.arange(H)
+    (_, _), (a_qp, b_qp) = jax.lax.scan(step, init, (b_d_list, idx))
+    # a_qp: (H, 13, 13); b_qp: (H, 13, H, 12) -> (H*13, H*12)
+    b_qp_flat = b_qp.reshape(H * NX, H * NU)
+
+    # --- Hessian / gradient (factor 2 matches ConvexMpc.cpp:20,41) -------
+    qw = jnp.tile(2.0 * q_weights, H)                       # (130,)
+    rw = jnp.tile(2.0 * r_weights, H)                       # (120,)
+    bq = b_qp_flat * qw[:, None]                            # Qw B
+    hessian = b_qp_flat.T @ bq + jnp.diag(rw)
+    resid = (a_qp @ x0).reshape(H * NX) - x_ref.reshape(H * NX)
+    gradient = bq.T @ resid
+
+    # --- friction-pyramid bounds (ConvexMpc.cpp:223-245) -----------------
+    inf = jnp.asarray(jnp.inf, dtype)
+    c = contacts.astype(dtype)
+    lb_leg = jnp.stack(
+        [jnp.zeros_like(c), -inf * jnp.ones_like(c),
+         jnp.zeros_like(c), -inf * jnp.ones_like(c), fz_min * c], axis=-1)
+    ub_leg = jnp.stack(
+        [inf * jnp.ones_like(c), jnp.zeros_like(c),
+         inf * jnp.ones_like(c), jnp.zeros_like(c), fz_max * c], axis=-1)
+    lb = jnp.tile(lb_leg.reshape(-1), H)
+    ub = jnp.tile(ub_leg.reshape(-1), H)
+    return CondensedQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
+
+
+# --- friction-pyramid constraint operators --------------------------------
+# Per (step, leg) block (ConvexMpc.cpp:46-58):
+#   rows = [fx + mu fz, fx - mu fz, fy + mu fz, fy - mu fz, fz]
+# The 200x120 matrix is block-diagonal over the 40 (step, leg) pairs, so the
+# matvec is pure elementwise arithmetic — never materialized on device.
+
+def constraint_matvec(u, mu=P.MPC_MU):
+    """C @ u for the stacked friction pyramid.
+
+    Args:
+      u: (..., 120) force stack.
+
+    Returns:
+      (..., 200) constraint values.
+    """
+    f = u.reshape(u.shape[:-1] + (H * P.NUM_LEG, 3))
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    rows = jnp.stack(
+        [fx + mu * fz, fx - mu * fz, fy + mu * fz, fy - mu * fz, fz],
+        axis=-1)
+    return rows.reshape(u.shape[:-1] + (H * NC1,))
+
+
+def constraint_rmatvec(y, mu=P.MPC_MU):
+    """C' @ y (adjoint of :func:`constraint_matvec`).
+
+    Args:
+      y: (..., 200).
+
+    Returns:
+      (..., 120).
+    """
+    r = y.reshape(y.shape[:-1] + (H * P.NUM_LEG, 5))
+    fx = r[..., 0] + r[..., 1]
+    fy = r[..., 2] + r[..., 3]
+    fz = mu * (r[..., 0] - r[..., 1] + r[..., 2] - r[..., 3]) + r[..., 4]
+    return jnp.stack([fx, fy, fz], axis=-1).reshape(y.shape[:-1] + (H * NU,))
+
+
+def constraint_matrix_dense(mu=P.MPC_MU, dtype=np.float64):
+    """Materialized (200, 120) constraint matrix — tests/oracle only."""
+    c = np.zeros((H * NC1, H * NU), dtype)
+    for k in range(H * P.NUM_LEG):
+        r0, c0 = 5 * k, 3 * k
+        c[r0 + 0, c0 + 0] = 1.0
+        c[r0 + 0, c0 + 2] = mu
+        c[r0 + 1, c0 + 0] = 1.0
+        c[r0 + 1, c0 + 2] = -mu
+        c[r0 + 2, c0 + 1] = 1.0
+        c[r0 + 2, c0 + 2] = mu
+        c[r0 + 3, c0 + 1] = 1.0
+        c[r0 + 3, c0 + 2] = -mu
+        c[r0 + 4, c0 + 2] = 1.0
+    return c
+
+
+def reference_trajectory(root_pos, root_euler, root_pos_d, root_euler_d,
+                         root_ang_vel_d, root_lin_vel_d_world, mpc_dt,
+                         gravity=P.GRAVITY):
+    """Desired 13-state trajectory over the horizon (A1RobotControl.cpp:470-488).
+
+    Integrates the desired world-frame velocity from the *current* position;
+    yaw integrates the desired yaw rate from the current yaw; height tracks
+    the desired height; vertical velocity reference is 0.
+
+    Returns:
+      (H, 13) reference states.
+    """
+    dtype = root_pos.dtype
+    i1 = jnp.arange(1, H + 1, dtype=dtype)[:, None]      # (H, 1)
+    zeros = jnp.zeros((H,), dtype)
+    ref = jnp.stack([
+        jnp.full((H,), root_euler_d[0], dtype),
+        jnp.full((H,), root_euler_d[1], dtype),
+        root_euler[2] + root_ang_vel_d[2] * mpc_dt * i1[:, 0],
+        root_pos[0] + root_lin_vel_d_world[0] * mpc_dt * i1[:, 0],
+        root_pos[1] + root_lin_vel_d_world[1] * mpc_dt * i1[:, 0],
+        jnp.full((H,), root_pos_d[2], dtype),
+        jnp.full((H,), root_ang_vel_d[0], dtype),
+        jnp.full((H,), root_ang_vel_d[1], dtype),
+        jnp.full((H,), root_ang_vel_d[2], dtype),
+        jnp.full((H,), root_lin_vel_d_world[0], dtype),
+        jnp.full((H,), root_lin_vel_d_world[1], dtype),
+        zeros,
+        jnp.full((H,), -gravity, dtype),
+    ], axis=-1)
+    return ref
+
+
+def mpc_state(root_euler, root_pos, root_ang_vel, root_lin_vel,
+              gravity=P.GRAVITY):
+    """Pack the 13-dim current MPC state (A1RobotControl.cpp:452-456)."""
+    return jnp.concatenate([
+        root_euler, root_pos, root_ang_vel, root_lin_vel,
+        jnp.asarray([-gravity], root_pos.dtype)])
