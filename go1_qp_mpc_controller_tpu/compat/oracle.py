@@ -119,42 +119,53 @@ def condense(a_d, b_d_list, x0, x_ref_flat, q_weights, r_weights, contacts,
 
 # --------------------------- exact QP solver ------------------------------
 
-def solve_qp(qp, max_iter=200000, rho=0.1, sigma=1e-6, alpha=1.6,
+def solve_qp(qp, max_iter=20000, rho=0.1, sigma=1e-6, alpha=1.6,
              eps=1e-10, polish=True):
-    """OSQP-iteration ADMM to tight tolerance + active-set polish.
+    """OSQP-iteration ADMM (cost scaling + adaptive rho) to tight tolerance,
+    plus active-set polish.
 
     Returns (x, y, info) with info containing residuals; raises if the KKT
     conditions are not met to 1e-8 — the oracle must be trustworthy.
     """
-    p, q, c = qp.hessian, qp.gradient, qp.C
+    p_u, q_u, c = qp.hessian, qp.gradient, qp.C
     lb, ub = qp.lb, qp.ub
-    n, m = p.shape[0], c.shape[0]
+    n, m = p_u.shape[0], c.shape[0]
+    cost = 1.0 / max(np.abs(p_u).max(), 1e-12)   # cost scaling, |P| -> 1
+    p, q = cost * p_u, cost * q_u
     eq = np.isclose(lb, ub)
-    rho_vec = np.where(eq, rho * 1e3, rho)
-    kkt = p + sigma * np.eye(n) + c.T @ (rho_vec[:, None] * c)
-    kkt_cho = np.linalg.cholesky(kkt)
-
-    def kkt_solve(rhs):
-        w = np.linalg.solve(kkt_cho, rhs)
-        return np.linalg.solve(kkt_cho.T, w)
 
     x = np.zeros(n)
     z = np.zeros(m)
     y = np.zeros(m)
-    for it in range(max_iter):
-        rhs = sigma * x - q + c.T @ (rho_vec * z - y)
-        x_t = kkt_solve(rhs)
-        z_t = c @ x_t
-        x_new = alpha * x_t + (1 - alpha) * x
-        z_mid = alpha * z_t + (1 - alpha) * z
-        z_new = np.clip(z_mid + y / rho_vec, lb, ub)
-        y = y + rho_vec * (z_mid - z_new)
-        x, z = x_new, z_new
-        if it % 50 == 49:
-            prim = np.max(np.abs(c @ x - z))
-            dual = np.max(np.abs(p @ x + q + c.T @ y))
-            if prim < eps and dual < eps:
-                break
+    it = 0
+    while it < max_iter:
+        rho_vec = np.where(eq, rho * 1e3, rho)
+        kkt = p + sigma * np.eye(n) + c.T @ (rho_vec[:, None] * c)
+        kkt_cho = np.linalg.cholesky(kkt)
+        for _ in range(50):
+            rhs = sigma * x - q + c.T @ (rho_vec * z - y)
+            w = np.linalg.solve(kkt_cho, rhs)
+            x_t = np.linalg.solve(kkt_cho.T, w)
+            z_t = c @ x_t
+            x_new = alpha * x_t + (1 - alpha) * x
+            z_mid = alpha * z_t + (1 - alpha) * z
+            z_new = np.clip(z_mid + y / rho_vec, lb, ub)
+            y = y + rho_vec * (z_mid - z_new)
+            x, z = x_new, z_new
+            it += 1
+        cx = c @ x
+        prim = np.max(np.abs(cx - z))
+        dual = np.max(np.abs(p @ x + q + c.T @ y))
+        if prim < eps and dual < eps * cost:
+            break
+        # adaptive rho on relative residuals
+        prim_rel = prim / max(np.abs(cx).max(), np.abs(z).max(), 1e-15)
+        dual_rel = dual / max(np.abs(p @ x).max(), np.abs(q).max(),
+                              np.abs(c.T @ y).max(), 1e-15)
+        rho = float(np.clip(rho * np.sqrt(prim_rel / max(dual_rel, 1e-15)),
+                            1e-6, 1e6))
+    y = y / cost
+    p, q = p_u, q_u
 
     if polish:
         xp, yp = _polish(p, q, c, lb, ub, z, y)

@@ -5,14 +5,18 @@ TPU-native replacement for OSQP + osqp-eigen
 OSQP's sparse LDL' does not map to the MXU, so the solver is re-designed
 dense and fixed-shape:
 
-- one Cholesky factorization of M = P + sigma I + C' diag(rho) C per solve
-  (re-used across warm-started ticks exactly like the reference's persistent
-  solver, A1RobotControl.cpp:522-540),
-- a fixed-iteration ADMM loop (lax.fori_loop) whose per-iteration work is
-  two triangular solves plus structured constraint matvecs — fully batchable
-  with vmap, no data-dependent control flow,
-- OSQP's over-relaxation (alpha = 1.6) and the 1e3 rho boost on equality
-  rows (lb == ub), which is what makes swing-leg force pinning converge fast.
+- cost scaling (the QP Hessian of this problem family is ~1e-2-scale while
+  forces are ~1e2 N; normalizing |P| to 1 is what lets a generic rho work),
+- a segmented ADMM loop with OSQP's adaptive-rho rule between segments:
+  each segment refactorizes M = P + sigma I + C' diag(rho) C with a batched
+  Cholesky and runs a fixed number of iterations (lax.fori_loop) whose
+  per-iteration work is two triangular solves plus structured constraint
+  matvecs — fully batchable with vmap, no data-dependent control flow,
+- OSQP's over-relaxation (alpha = 1.6) and 1e3 rho boost on equality rows
+  (lb == ub), which pins swing-leg forces fast,
+- an optional active-set polish (OSQP "polish", osqp/src/polish.c semantics)
+  via masked augmented-Lagrangian refinement, giving near-exact optima on
+  the low-curvature directions the r_weights ~ 1e-6 barely regularize.
 
 The friction-pyramid constraint matrix is never materialized: `matvec` /
 `rmatvec` callables exploit its block-diagonal structure (ConvexMpc.cpp:46-58).
@@ -28,93 +32,173 @@ from go1_qp_mpc_controller_tpu.models import srb
 
 
 class ADMMSettings(NamedTuple):
-    """Solver hyperparameters (OSQP defaults unless noted)."""
-    iters: int = 100
+    """Solver hyperparameters (OSQP defaults unless noted).
+
+    Total iteration count = segments * seg_iters; rho adapts between
+    segments (each segment refactorizes once).
+    """
+    seg_iters: int = 50
+    segments: int = 4
     rho: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
     rho_eq_scale: float = 1e3   # rho boost for lb == ub rows
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    polish: bool = True
+    polish_rho: float = 1e3     # AL penalty (x |P|) for the polish solves
+    polish_iters: int = 2
 
 
 class ADMMSolution(NamedTuple):
-    x: jnp.ndarray          # (n,) primal solution
-    y: jnp.ndarray          # (m,) dual solution
-    z: jnp.ndarray          # (m,) projected constraint values
+    x: jnp.ndarray           # (n,) primal solution
+    y: jnp.ndarray           # (m,) dual solution
+    z: jnp.ndarray           # (m,) projected constraint values
+    rho: jnp.ndarray         # () final adapted rho (for warm restarts)
     primal_res: jnp.ndarray  # () max |Cx - z|
     dual_res: jnp.ndarray    # () max |Px + q + C'y|
 
 
-def _rho_vec(lb, ub, settings):
-    eq = jnp.isclose(lb, ub)
-    return jnp.where(eq, settings.rho * settings.rho_eq_scale, settings.rho)
-
-
-def factorize(hessian, lb, ub, rmatvec_dense, settings):
-    """Cholesky of M = P + sigma I + C' diag(rho) C.
-
-    Args:
-      hessian: (n, n).
-      lb, ub: (m,) bounds (determine per-row rho).
-      rmatvec_dense: function building C' diag(w) C densely, signature
-        (w: (m,)) -> (n, n). For the MPC pyramid this is block-diagonal and
-        cheap.
-      settings: ADMMSettings.
-
-    Returns:
-      (L, rho_vec): lower-triangular Cholesky factor and per-row rho.
-    """
-    rho_vec = _rho_vec(lb, ub, settings)
-    n = hessian.shape[-1]
-    m_mat = (hessian + settings.sigma * jnp.eye(n, dtype=hessian.dtype)
-             + rmatvec_dense(rho_vec))
-    return jnp.linalg.cholesky(m_mat), rho_vec
-
-
-def solve(hessian, gradient, lb, ub, matvec, rmatvec, chol, rho_vec,
-          settings, warm_x=None, warm_y=None):
-    """Run fixed-iteration ADMM on one QP.
+def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
+          settings, warm_x=None, warm_y=None, warm_rho=None):
+    """Solve min 1/2 x'Px + q'x s.t. lb <= Cx <= ub for one QP.
 
     Args:
       hessian, gradient: (n, n), (n,).
-      lb, ub: (m,).
+      lb, ub: (m,) bounds; equality rows encoded as lb == ub.
       matvec: u (n,) -> C u (m,).
       rmatvec: y (m,) -> C' y (n,).
-      chol: (n, n) lower Cholesky factor from :func:`factorize`.
-      rho_vec: (m,) per-row step sizes.
-      settings: ADMMSettings (iters is static).
-      warm_x, warm_y: optional warm starts.
+      rmatvec_dense: w (m,) -> C' diag(w) C (n, n) (structure-exploiting).
+      settings: ADMMSettings (loop bounds are static).
+      warm_x, warm_y, warm_rho: optional warm starts from a previous tick.
 
     Returns:
-      ADMMSolution.
+      ADMMSolution (duals in unscaled units).
     """
     n = gradient.shape[-1]
     m = lb.shape[-1]
     dtype = gradient.dtype
-    x0 = jnp.zeros((n,), dtype) if warm_x is None else warm_x
-    y0 = jnp.zeros((m,), dtype) if warm_y is None else warm_y
-    z0 = jnp.clip(matvec(x0), lb, ub)
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    # --- cost scaling: |P| -> 1 --------------------------------------
+    cost = 1.0 / jnp.maximum(jnp.max(jnp.abs(hessian)), 1e-12)
+    pbar = cost * hessian
+    qbar = cost * gradient
+
+    eq = jnp.isclose(lb, ub)
+    # make bounds finite for arithmetic; clip keeps semantics
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    lb_f = jnp.maximum(lb, -big)
+    ub_f = jnp.minimum(ub, big)
+
     alpha = settings.alpha
     sigma = settings.sigma
+
+    x0 = jnp.zeros((n,), dtype) if warm_x is None else warm_x
+    y0 = jnp.zeros((m,), dtype) if warm_y is None else warm_y * cost
+    rho0 = (jnp.asarray(settings.rho, dtype) if warm_rho is None
+            else warm_rho)
+    z0 = jnp.clip(matvec(x0), lb_f, ub_f)
+
+    def segment(carry, _):
+        x, z, y, rho = carry
+        rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
+        m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
+        chol = jnp.linalg.cholesky(m_mat)
+
+        def kkt_solve(rhs):
+            w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+            return jax.scipy.linalg.solve_triangular(chol.T, w, lower=False)
+
+        def body(_, c4):
+            x, z, y = c4
+            rhs = sigma * x - qbar + rmatvec(rho_vec * z - y)
+            x_t = kkt_solve(rhs)
+            z_t = matvec(x_t)
+            x_new = alpha * x_t + (1.0 - alpha) * x
+            z_mid = alpha * z_t + (1.0 - alpha) * z
+            z_new = jnp.clip(z_mid + y / rho_vec, lb_f, ub_f)
+            y_new = y + rho_vec * (z_mid - z_new)
+            return x_new, z_new, y_new
+
+        x, z, y = jax.lax.fori_loop(0, settings.seg_iters, body, (x, z, y))
+
+        # adaptive rho (OSQP eq. 5.2): relative primal/dual residual ratio
+        cx = matvec(x)
+        eps = jnp.asarray(1e-15, dtype)
+        prim = (jnp.max(jnp.abs(cx - z))
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(cx)),
+                                          jnp.max(jnp.abs(z))), eps))
+        px = pbar @ x
+        cty = rmatvec(y)
+        dual = (jnp.max(jnp.abs(px + qbar + cty))
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                              jnp.maximum(jnp.max(jnp.abs(qbar)),
+                                          jnp.max(jnp.abs(cty)))), eps))
+        rho_new = jnp.clip(rho * jnp.sqrt(prim / jnp.maximum(dual, eps)),
+                           settings.rho_min, settings.rho_max)
+        return (x, z, y, rho_new), None
+
+    (x, z, y, rho), _ = jax.lax.scan(
+        segment, (x0, z0, y0, rho0), None, length=settings.segments)
+
+    if settings.polish:
+        x, y = _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
+                       rmatvec_dense, x, y, settings)
+        z = jnp.clip(matvec(x), lb_f, ub_f)
+
+    y_out = y / cost
+    primal = jnp.max(jnp.abs(matvec(x) - z))
+    dual = jnp.max(jnp.abs(hessian @ x + gradient + rmatvec(y_out)))
+    return ADMMSolution(x=x, y=y_out, z=z, rho=rho,
+                        primal_res=primal, dual_res=dual)
+
+
+def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
+            rmatvec_dense, x, y, settings):
+    """Masked active-set refinement (fixed-shape OSQP polish).
+
+    Detects the active set from dual signs, then runs a few
+    augmented-Lagrangian passes of the equality-constrained problem
+    restricted to those rows. The mask keeps shapes static so the whole
+    thing vmaps. Scaled quantities in, scaled dual out.
+    """
+    dtype = x.dtype
+    n = x.shape[-1]
+    delta = 1e-6 * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+    act_low = (y < -delta) & jnp.isfinite(lb)
+    act_up = (y > delta) & jnp.isfinite(ub)
+    act = (act_low | act_up | eq)
+    d = act.astype(dtype)
+    bvals = jnp.where(act_up, ub_f, lb_f) * d   # masked: inactive rows -> 0
+
+    rho_p = jnp.asarray(settings.polish_rho, dtype)
+    m_mat = (pbar + settings.sigma * jnp.eye(n, dtype=dtype)
+             + rmatvec_dense(rho_p * d))
+    chol = jnp.linalg.cholesky(m_mat)
 
     def kkt_solve(rhs):
         w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
         return jax.scipy.linalg.solve_triangular(chol.T, w, lower=False)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - gradient + rmatvec(rho_vec * z - y)
-        x_t = kkt_solve(rhs)
-        z_t = matvec(x_t)
-        x_new = alpha * x_t + (1.0 - alpha) * x
-        z_mid = alpha * z_t + (1.0 - alpha) * z
-        z_new = jnp.clip(z_mid + y / rho_vec, lb, ub)
-        y_new = y + rho_vec * (z_mid - z_new)
-        return x_new, z_new, y_new
+    def body(carry, _):
+        x, nu = carry
+        rhs = -qbar + rmatvec(d * (rho_p * bvals - nu))
+        x_new = kkt_solve(rhs + settings.sigma * x)
+        nu_new = nu + rho_p * d * (matvec(x_new) - bvals)
+        return (x_new, nu_new), None
 
-    x, z, y = jax.lax.fori_loop(0, settings.iters, body, (x0, z0, y0))
-    primal = jnp.max(jnp.abs(matvec(x) - z))
-    dual = jnp.max(jnp.abs(hessian @ x + gradient + rmatvec(y)))
-    return ADMMSolution(x=x, y=y, z=z, primal_res=primal, dual_res=dual)
+    (x_p, nu), _ = jax.lax.scan(body, (x, jnp.zeros_like(y)), None,
+                                length=settings.polish_iters)
+    # accept polish only if it did not lose feasibility
+    viol_p = jnp.maximum(jnp.max(matvec(x_p) - ub_f),
+                         jnp.max(lb_f - matvec(x_p)))
+    viol_0 = jnp.maximum(jnp.max(matvec(x) - ub_f),
+                         jnp.max(lb_f - matvec(x)))
+    ok = viol_p <= jnp.maximum(viol_0, 1e-6 * jnp.max(jnp.abs(ub_f)))
+    x_out = jnp.where(ok, x_p, x)
+    y_out = jnp.where(ok, d * nu, y)
+    return x_out, y_out
 
 
 # ------------------- MPC-specialized entry points -------------------------
@@ -140,22 +224,30 @@ def _pyramid_ctc_dense(w, mu, dtype):
         jnp.stack([d_x, zero, o_x], axis=-1),
         jnp.stack([zero, d_y, o_y], axis=-1),
         jnp.stack([o_x, o_y, d_z], axis=-1),
-    ], axis=-2)                          # (40, 3, 3)
-    return jax.scipy.linalg.block_diag(*blocks).astype(dtype)
+    ], axis=-2).astype(dtype)            # (40, 3, 3)
+    nb = wb.shape[0]
+    out = jnp.zeros((nb * 3, nb * 3), dtype)
+    ii = jnp.arange(nb * 3)
+    blk = ii // 3
+    # scatter the 3x3 blocks onto the diagonal
+    rows = jnp.repeat(jnp.arange(nb) * 3, 9) + jnp.tile(
+        jnp.repeat(jnp.arange(3), 3), nb)
+    cols = jnp.repeat(jnp.arange(nb) * 3, 9) + jnp.tile(
+        jnp.tile(jnp.arange(3), 3), nb)
+    out = out.at[rows, cols].set(blocks.reshape(-1))
+    del ii, blk
+    return out
 
 
-def mpc_factorize(qp, settings=ADMMSettings(), mu=None):
-    """Factorize the MPC QP KKT matrix (friction-pyramid constraints)."""
+def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
+              warm_rho=None, mu=None):
+    """Solve one condensed MPC QP (srb.CondensedQP) end to end."""
     from go1_qp_mpc_controller_tpu.config import params as P
     mu = P.MPC_MU if mu is None else mu
     dense = functools.partial(_pyramid_ctc_dense, mu=mu,
                               dtype=qp.hessian.dtype)
-    return factorize(qp.hessian, qp.lb, qp.ub, dense, settings)
-
-
-def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None):
-    """Factorize + solve one condensed MPC QP (srb.CondensedQP)."""
-    chol, rho_vec = mpc_factorize(qp, settings)
-    return solve(qp.hessian, qp.gradient, qp.lb, qp.ub,
-                 srb.constraint_matvec, srb.constraint_rmatvec,
-                 chol, rho_vec, settings, warm_x=warm_x, warm_y=warm_y)
+    matvec = functools.partial(srb.constraint_matvec, mu=mu)
+    rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
+    return solve(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec, rmatvec,
+                 dense, settings, warm_x=warm_x, warm_y=warm_y,
+                 warm_rho=warm_rho)

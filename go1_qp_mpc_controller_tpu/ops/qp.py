@@ -106,7 +106,7 @@ def build_balance_qp(root_acc, root_rot_mat_z, foot_pos_abs, contacts,
     return BalanceQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
 
 
-def solve_balance_qp(qp, settings=admm.ADMMSettings(iters=150)):
+def solve_balance_qp(qp, settings=admm.ADMMSettings()):
     """Solve via dense ADMM; returns world-frame forces (4, 3) + solution."""
     c_mat = jnp.asarray(balance_constraint_matrix(), qp.hessian.dtype)
 
@@ -119,7 +119,6 @@ def solve_balance_qp(qp, settings=admm.ADMMSettings(iters=150)):
     def dense(w):
         return c_mat.T @ (w[:, None] * c_mat)
 
-    chol, rho_vec = admm.factorize(qp.hessian, qp.lb, qp.ub, dense, settings)
     sol = admm.solve(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec, rmatvec,
-                     chol, rho_vec, settings)
+                     dense, settings)
     return sol.x.reshape(4, 3), sol

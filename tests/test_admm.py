@@ -1,0 +1,154 @@
+"""ADMM solver correctness: oracle convergence, JAX-vs-oracle parity,
+warm starting, batching, float32 accuracy.
+
+The headline parity gate (BASELINE.md): GRFs/torques within 1e-3 of the
+converged reference QP solution on the test_mpc.cpp fixture.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go1_qp_mpc_controller_tpu.compat import oracle
+from go1_qp_mpc_controller_tpu.models import srb
+from go1_qp_mpc_controller_tpu.ops import admm, qp as balance_qp
+
+
+@functools.lru_cache()
+def _fixture_solution():
+    grf, x, qp_ref, info = oracle.solve_test_mpc_fixture()
+    return grf, x, qp_ref, info
+
+
+def _fixture_jax_qp(dtype=jnp.float64):
+    f = oracle.test_mpc_fixture()
+    return srb.condense(
+        jnp.asarray(f["a_d"], dtype), jnp.asarray(f["b_d_list"], dtype),
+        jnp.asarray(f["x0"], dtype),
+        jnp.asarray(f["x_ref"], dtype).reshape(10, 13),
+        jnp.asarray(f["q_weights"], dtype), jnp.asarray(f["r_weights"], dtype),
+        jnp.asarray(f["contacts"], dtype))
+
+
+def test_oracle_solution_is_kkt_certified():
+    grf, x, qp_ref, info = _fixture_solution()
+    assert info["primal_res"] < 1e-8
+    assert info["dual_res"] < 1e-8
+    # swing legs (contacts FR/RR = 0) carry zero force
+    np.testing.assert_allclose(grf[1], 0.0, atol=1e-8)
+    np.testing.assert_allclose(grf[3], 0.0, atol=1e-8)
+    # stance normal forces support the weight against q-weighted tracking
+    assert grf[0, 2] > 10.0 and grf[2, 2] > 10.0
+    # friction cone respected
+    for i in (0, 2):
+        assert abs(grf[i, 0]) <= 0.3 * grf[i, 2] + 1e-8
+        assert abs(grf[i, 1]) <= 0.3 * grf[i, 2] + 1e-8
+
+
+def test_jax_admm_matches_oracle_f64():
+    grf_ref, x_ref, _, _ = _fixture_solution()
+    qp_jax = _fixture_jax_qp()
+    sol = admm.mpc_solve(qp_jax, admm.ADMMSettings())
+    err = np.abs(np.asarray(sol.x) - x_ref).max()
+    assert err < 1e-3, f"max |x - x_ref| = {err}"
+    grf = np.asarray(sol.x[:12]).reshape(4, 3)
+    np.testing.assert_allclose(grf, grf_ref, atol=1e-3)
+
+
+def test_jax_admm_f32_accuracy():
+    """float32 (the TPU throughput path) accuracy.
+
+    The fixture's r_weights = 1e-6 leave directions with ~2e-6 curvature;
+    along them the solution error floor is (f32 residual noise ~3e-7) /
+    curvature ~ 2e-2 N — 0.05% of the 43 N stance forces. Strict 1e-3
+    parity is established by the float64 test above; the f32 path is gated
+    at its noise floor here. (Future: double-word residual refinement to
+    recover 1e-3 in f32.)
+    """
+    grf_ref, x_ref, _, _ = _fixture_solution()
+    qp_jax = _fixture_jax_qp(jnp.float32)
+    sol = admm.mpc_solve(qp_jax, admm.ADMMSettings(
+        segments=6, polish_rho=1e2, polish_iters=6))
+    err = np.abs(np.asarray(sol.x[:12]).reshape(4, 3) - grf_ref).max()
+    assert err < 5e-2, f"f32 GRF error = {err}"
+
+
+def test_warm_start_converges_faster():
+    qp_jax = _fixture_jax_qp()
+    cold = admm.mpc_solve(qp_jax, admm.ADMMSettings())
+    # perturb the gradient slightly (next-tick QP) and warm start
+    qp2 = qp_jax._replace(gradient=qp_jax.gradient * 1.01)
+    warm = admm.mpc_solve(qp2, admm.ADMMSettings(seg_iters=10, segments=1, polish=False),
+                          warm_x=cold.x, warm_y=cold.y)
+    cold2 = admm.mpc_solve(qp2, admm.ADMMSettings(seg_iters=10, segments=1, polish=False))
+    assert float(warm.primal_res) <= float(cold2.primal_res)
+    assert float(warm.dual_res) < 1e-2
+
+
+def test_batched_solve_consistency():
+    """vmap over scenarios == per-scenario solves."""
+    f = oracle.test_mpc_fixture()
+    n = 3
+    rng = np.random.default_rng(2)
+    x0s = np.tile(f["x0"], (n, 1))
+    x0s[:, 5] += rng.uniform(-0.02, 0.02, n)  # vary height
+
+    def solve_one(x0):
+        qp_i = srb.condense(
+            jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"]), x0,
+            jnp.asarray(f["x_ref"]).reshape(10, 13),
+            jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+            jnp.asarray(f["contacts"]))
+        return admm.mpc_solve(qp_i, admm.ADMMSettings()).x
+
+    batched = jax.vmap(solve_one)(jnp.asarray(x0s))
+    for i in range(n):
+        single = solve_one(jnp.asarray(x0s[i]))
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single), atol=1e-10)
+
+
+def test_all_stance_configuration():
+    """configs[0]: stand-mode solve, 4 feet in stance, forces ~ mg/4."""
+    f = oracle.test_mpc_fixture()
+    contacts = np.ones(4)
+    qp_ref = oracle.condense(f["a_d"], f["b_d_list"], f["x0"], f["x_ref"],
+                             f["q_weights"], f["r_weights"], contacts)
+    x_ref, _, _ = oracle.solve_qp(qp_ref)
+    qp_jax = srb.condense(
+        jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"]),
+        jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+        jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+        jnp.asarray(contacts))
+    sol = admm.mpc_solve(qp_jax, admm.ADMMSettings())
+    np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-3)
+    grf = np.asarray(sol.x[:12]).reshape(4, 3)
+    # total normal force approximately supports the robot near steady state
+    assert 0.3 * 15 * 9.8 < grf[:, 2].sum() < 2.0 * 15 * 9.8
+
+
+def test_balance_qp_solver():
+    """The 12-var balance QP (A1RobotControl.cpp:377-444) against the oracle
+    on the same problem data."""
+    rng = np.random.default_rng(9)
+    acc = np.array([5.0, -3.0, 15 * 9.8, 0.5, -0.2, 0.1])
+    feet = np.array([[0.17, 0.15, -0.33], [0.17, -0.15, -0.33],
+                     [-0.17, 0.15, -0.33], [-0.17, -0.15, -0.33]])
+    contacts = np.array([1.0, 1.0, 1.0, 1.0])
+    qp_j = balance_qp.build_balance_qp(
+        jnp.asarray(acc, jnp.float64), jnp.eye(3, dtype=jnp.float64),
+        jnp.asarray(feet, jnp.float64), jnp.asarray(contacts, jnp.float64))
+    grf, sol = balance_qp.solve_balance_qp(
+        qp_j, admm.ADMMSettings())
+    # oracle solve of the identical QP
+    c = balance_qp.balance_constraint_matrix()
+    oq = oracle.OracleQP(hessian=np.asarray(qp_j.hessian),
+                         gradient=np.asarray(qp_j.gradient), C=c,
+                         lb=np.asarray(qp_j.lb), ub=np.asarray(qp_j.ub))
+    x_ref, _, _ = oracle.solve_qp(oq)
+    np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-3)
+    # wrench balance: total fz tracks the gravity feedforward
+    np.testing.assert_allclose(np.asarray(grf)[:, 2].sum(), acc[2], rtol=0.05)

@@ -1,0 +1,130 @@
+"""SRB condensation parity: JAX impl vs float64 NumPy oracle.
+
+The oracle replicates ConvexMpc.cpp:110-245 with explicit loops; the JAX
+implementation uses a lax.scan block recursion. They must agree to fp
+round-off on the test_mpc.cpp fixture and on randomized scenarios.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.compat import oracle
+from go1_qp_mpc_controller_tpu.models import srb
+
+
+def _to_jax(f, dtype=jnp.float64):
+    return {k: (jnp.asarray(v, dtype) if isinstance(v, np.ndarray)
+                else v) for k, v in f.items()}
+
+
+def test_A_c_structure():
+    euler = jnp.asarray([0.1, -0.2, 0.7], jnp.float64)
+    a = np.asarray(srb.calculate_A_c(euler))
+    a_ref = oracle.calculate_A_c(np.asarray(euler))
+    np.testing.assert_allclose(a, a_ref, atol=1e-15)
+    # only yaw enters; the rpy-rate map is Rz(yaw)^T
+    assert a[0, 6] == np.cos(0.7)
+    assert a[11, 12] == 1.0
+    np.testing.assert_allclose(a[3:6, 9:12], np.eye(3))
+
+
+def test_B_c_matches_oracle():
+    rng = np.random.default_rng(7)
+    mass = 14.0
+    inertia = np.diag([0.016, 0.064, 0.074]) + 1e-3 * np.eye(3)
+    euler = rng.normal(size=3) * 0.2
+    from go1_qp_mpc_controller_tpu.utils import rotations
+    rot = np.asarray(rotations.euler_to_rot_mat(jnp.asarray(euler)))
+    feet = rng.normal(size=(4, 3)) * 0.2
+    b = np.asarray(srb.calculate_B_c(
+        jnp.asarray(mass, jnp.float64), jnp.asarray(inertia, jnp.float64),
+        jnp.asarray(rot, jnp.float64), jnp.asarray(feet, jnp.float64)))
+    b_ref = oracle.calculate_B_c(mass, inertia, rot, feet)
+    np.testing.assert_allclose(b, b_ref, atol=1e-12)
+
+
+def test_condense_fixture_matches_oracle():
+    f = oracle.test_mpc_fixture()
+    qp_ref = oracle.condense(f["a_d"], f["b_d_list"], f["x0"], f["x_ref"],
+                             f["q_weights"], f["r_weights"], f["contacts"])
+    qp = srb.condense(
+        jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"]),
+        jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+        jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+        jnp.asarray(f["contacts"]))
+    np.testing.assert_allclose(np.asarray(qp.hessian), qp_ref.hessian,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qp.gradient), qp_ref.gradient,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qp.lb), qp_ref.lb)
+    np.testing.assert_allclose(np.asarray(qp.ub), qp_ref.ub)
+
+
+def test_condense_randomized_matches_oracle():
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        euler = rng.normal(size=3) * 0.3
+        a_c = oracle.calculate_A_c(euler)
+        mass = rng.uniform(10, 20)
+        inertia = np.diag(rng.uniform(0.01, 0.09, 3))
+        from go1_qp_mpc_controller_tpu.utils import rotations
+        rot = np.asarray(rotations.euler_to_rot_mat(jnp.asarray(euler)))
+        b_d_list = []
+        for i in range(10):
+            feet = rng.normal(size=(4, 3)) * 0.25
+            b_c = oracle.calculate_B_c(mass, inertia, rot, feet)
+            _, b_d = oracle.discretize(a_c, b_c, 0.0025)
+            b_d_list.append(b_d)
+        b_d_list = np.stack(b_d_list)
+        a_d, _ = oracle.discretize(a_c, np.zeros((13, 12)), 0.0025)
+        x0 = rng.normal(size=13)
+        x_ref = rng.normal(size=130)
+        qw = np.abs(rng.normal(size=13)) * 10
+        rw = np.abs(rng.normal(size=12)) * 1e-5
+        contacts = (rng.uniform(size=4) > 0.4).astype(float)
+        qp_ref = oracle.condense(a_d, b_d_list, x0, x_ref, qw, rw, contacts)
+        qp = srb.condense(jnp.asarray(a_d), jnp.asarray(b_d_list),
+                          jnp.asarray(x0), jnp.asarray(x_ref).reshape(10, 13),
+                          jnp.asarray(qw), jnp.asarray(rw),
+                          jnp.asarray(contacts))
+        np.testing.assert_allclose(np.asarray(qp.hessian), qp_ref.hessian,
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(qp.gradient), qp_ref.gradient,
+                                   atol=1e-8)
+
+
+def test_constraint_matvec_matches_dense():
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=120)
+    y = rng.normal(size=200)
+    c = oracle.constraint_matrix()
+    np.testing.assert_allclose(
+        np.asarray(srb.constraint_matvec(jnp.asarray(u))), c @ u, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(srb.constraint_rmatvec(jnp.asarray(y))), c.T @ y,
+        atol=1e-12)
+    # also the in-repo dense builder agrees with the oracle
+    np.testing.assert_allclose(srb.constraint_matrix_dense(), c)
+
+
+def test_condense_vmap_consistency():
+    """Batched condensation equals per-scenario condensation."""
+    f = oracle.test_mpc_fixture()
+    n = 4
+    rng = np.random.default_rng(11)
+    x0s = np.tile(f["x0"], (n, 1)) + rng.normal(size=(n, 13)) * 0.01
+    batched = jax.vmap(
+        lambda x0: srb.condense(
+            jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"]), x0,
+            jnp.asarray(f["x_ref"]).reshape(10, 13),
+            jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+            jnp.asarray(f["contacts"])))(jnp.asarray(x0s))
+    for i in range(n):
+        single = srb.condense(
+            jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"]),
+            jnp.asarray(x0s[i]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+            jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+            jnp.asarray(f["contacts"]))
+        np.testing.assert_allclose(np.asarray(batched.gradient[i]),
+                                   np.asarray(single.gradient), atol=1e-12)
