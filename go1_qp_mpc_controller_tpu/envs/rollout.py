@@ -1,0 +1,114 @@
+"""Closed-loop rollout: controller + SRB plant as one lax.scan program.
+
+This is the TPU-native stand-in for the Gazebo integration tests
+(README.md:27-36): whole trajectories run on-device, batched over scenarios
+with vmap and sharded with shard_map. One scan step = one 500 Hz control
+tick (sensor ingestion + estimation + plan + MPC/QP solve + torques) plus
+one plant step.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from go1_qp_mpc_controller_tpu.ctrl import controller
+from go1_qp_mpc_controller_tpu.envs import srb_sim
+from go1_qp_mpc_controller_tpu.models import types
+from go1_qp_mpc_controller_tpu.ops import admm, ekf
+
+
+class RolloutCarry(NamedTuple):
+    ctrl: types.CtrlState
+    sim: srb_sim.SimState
+    stance_forces_z: jnp.ndarray  # (4,) last applied normal forces
+
+
+class RolloutTrace(NamedTuple):
+    root_pos: jnp.ndarray       # (T, 3)
+    root_euler: jnp.ndarray     # (T, 3)
+    root_lin_vel: jnp.ndarray   # (T, 3)
+    joint_torques: jnp.ndarray  # (T, 12)
+    foot_forces_grf: jnp.ndarray  # (T, 4, 3)
+    contacts: jnp.ndarray       # (T, 4)
+    est_root_pos: jnp.ndarray   # (T, 3) estimator output
+
+
+def init_carry(model, params, height=0.3, movement_mode=0,
+               dtype=jnp.float32):
+    """Standing start: plant at ``height``, controller state synced to it."""
+    sim = srb_sim.init_sim_state(model, height, dtype)
+    ctrl = types.init_ctrl_state(model, dtype)
+    feet_body = sim.foot_pos_world - sim.root_pos
+    ekf_x, ekf_p = ekf.init_state(sim.root_rot, feet_body)
+    ctrl = ctrl._replace(
+        movement_mode=jnp.asarray(movement_mode, jnp.int32),
+        root_pos=sim.root_pos,
+        root_pos_d=sim.root_pos,
+        foot_pos_start=feet_body,
+        foot_pos_rel_last_time=feet_body,
+        foot_pos_target_last_time=feet_body,
+        foot_pos_recent_contact=feet_body,
+        estimator_x=ekf_x,
+        estimator_P=ekf_p,
+    )
+    weight = model.mass * 9.8 / 4.0
+    return RolloutCarry(ctrl=ctrl, sim=sim,
+                        stance_forces_z=jnp.full((4,), weight, dtype))
+
+
+def rollout(carry, model, params, num_steps, dt,
+            solver_type=controller.MPC,
+            settings=admm.ADMMSettings(),
+            command_fn=None, estimate=True, use_terrain_adapt=True):
+    """Run ``num_steps`` closed-loop ticks; returns (carry, RolloutTrace).
+
+    Args:
+      carry: RolloutCarry from :func:`init_carry`.
+      model, params: RobotModel / CtrlParams.
+      num_steps: static int.
+      dt: () control/plant period (the reference's 2 ms main loop).
+      solver_type: controller.MPC or controller.QP (static).
+      settings: ADMM settings for the GRF solves.
+      command_fn: optional (step_idx, ctrl_state) -> ctrl_state to inject
+        desired velocities / modes (the joystick path,
+        GazeboA1ROS.cpp:124-188).
+      estimate: static — True runs the EKF in the loop (configs[3]);
+        False feeds plant ground truth (isolates control from estimation).
+    """
+
+    def tick(c, step_idx):
+        ctrl, sim = c.ctrl, c.sim
+        if command_fn is not None:
+            ctrl = command_fn(step_idx, ctrl)
+
+        # observe the current plant, estimate, control
+        sensors = srb_sim.read_sensors(sim, model, ctrl.contacts,
+                                       c.stance_forces_z, dt)
+        ctrl = controller.sensor_update(ctrl, model, sensors, dt,
+                                        estimate=estimate)
+        if not estimate:
+            ctrl = ctrl._replace(root_pos=sim.root_pos,
+                                 root_lin_vel=sim.root_lin_vel)
+
+        ctrl = controller.control_step(
+            ctrl, model, params, dt, solver_type=solver_type,
+            settings=settings, use_terrain_adapt=use_terrain_adapt)
+
+        sim_new, forces_z = srb_sim.step(
+            sim, model, ctrl.joint_torques, ctrl.contacts,
+            ctrl.foot_pos_target_last_time, dt)
+
+        trace = RolloutTrace(
+            root_pos=sim_new.root_pos,
+            root_euler=ctrl.root_euler,
+            root_lin_vel=sim_new.root_lin_vel,
+            joint_torques=ctrl.joint_torques,
+            foot_forces_grf=ctrl.foot_forces_grf,
+            contacts=ctrl.contacts,
+            est_root_pos=ctrl.root_pos,
+        )
+        return RolloutCarry(ctrl=ctrl, sim=sim_new,
+                            stance_forces_z=forces_z), trace
+
+    return jax.lax.scan(tick, carry, jnp.arange(num_steps))

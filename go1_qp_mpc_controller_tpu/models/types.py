@@ -118,7 +118,7 @@ class CtrlState(NamedTuple):
     # terrain
     terrain_pitch_angle: jnp.ndarray  # ()
     terrain_angle_filter: filters.MovingWindowState     # window 100
-    recent_contact_filter: filters.MovingWindowState    # window 60, (4,3)
+    recent_contact_filter: filters.MovingWindowState    # stacked x4, (3,)
 
     # estimator (18-state KF)
     estimator_x: jnp.ndarray          # (18,)
@@ -221,7 +221,8 @@ def init_ctrl_state(model, dtype=jnp.float32):
         joint_torques=jnp.zeros((12,), dtype),
         terrain_pitch_angle=jnp.zeros((), dtype),
         terrain_angle_filter=filters.moving_window_init(100, (), dtype),
-        recent_contact_filter=filters.moving_window_init(60, (4, 3), dtype),
+        recent_contact_filter=filters.moving_window_init_stacked(
+            4, 60, (3,), dtype),
         estimator_x=jnp.zeros((18,), dtype),
         estimator_P=3.0 * jnp.eye(18, dtype=dtype),
         estimated_contacts=jnp.zeros((4,), bool),

@@ -51,6 +51,57 @@ def _neumaier_add(s, c, value):
     return new_sum, c
 
 
+def moving_window_init_stacked(num, window_size, value_shape=(),
+                               dtype=jnp.float32):
+    """``num`` independent filters stacked on a leading axis (e.g. the
+    reference's 12 per-leg recent-contact filters, A1RobotControl.cpp:53-57).
+    Update with vmap or :func:`moving_window_update_masked`."""
+    import jax
+    return jax.vmap(lambda _: moving_window_init(window_size, value_shape,
+                                                 dtype))(jnp.arange(num))
+
+
+def moving_window_update_masked(state, new_value, mask):
+    """Per-row gated update of a stacked filter.
+
+    Rows where ``mask`` is False keep their state and report their previous
+    average — matching the reference's "only filter while in contact"
+    pattern (A1RobotControl.cpp:274-281).
+
+    Args:
+      state: stacked MovingWindowState (leading axis N on every leaf).
+      new_value: (N, *value_shape).
+      mask: (N,) bool.
+
+    Returns:
+      (new_state, average (N, *value_shape)).
+    """
+    import jax
+    upd, avg_new = jax.vmap(moving_window_update)(state, new_value)
+
+    def sel(a, b):
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
+        return jnp.where(m, a, b)
+
+    new_state = jax.tree.map(sel, upd, state)
+    window = state.buffer.shape[1]
+    avg_old = (state.sum + state.correction) / window
+    return new_state, sel(avg_new, avg_old)
+
+
+def moving_window_update_if(state, new_value, pred):
+    """Scalar-gated update: push only when ``pred`` (a 0-d bool) is true;
+    otherwise the state is unchanged and the previous average is returned
+    (the reference's height-gated terrain filter, A1RobotControl.cpp:340-345).
+    """
+    import jax
+    upd, avg_new = moving_window_update(state, new_value)
+    new_state = jax.tree.map(lambda a, b: jnp.where(pred, a, b), upd, state)
+    window = state.buffer.shape[0]
+    avg_old = (state.sum + state.correction) / window
+    return new_state, jnp.where(pred, avg_new, avg_old)
+
+
 def moving_window_update(state, new_value):
     """Push ``new_value``; returns (new_state, average).
 
