@@ -135,8 +135,13 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
                 / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
                               jnp.maximum(jnp.max(jnp.abs(qbar)),
                                           jnp.max(jnp.abs(cty)))), eps))
-        rho_new = jnp.clip(rho * jnp.sqrt(prim / jnp.maximum(dual, eps)),
-                           settings.rho_min, settings.rho_max)
+        # OSQP guard: adapt only when residuals are >5x out of balance, and
+        # bound the per-segment change (prevents rho collapse on problems
+        # whose dual converges first)
+        factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
+        factor = jnp.clip(factor, 1e-2, 1e2)
+        factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
+        rho_new = jnp.clip(rho * factor, settings.rho_min, settings.rho_max)
         return (x, z, y, rho_new), None
 
     (x, z, y, rho), _ = jax.lax.scan(
@@ -190,12 +195,14 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
 
     (x_p, nu), _ = jax.lax.scan(body, (x, jnp.zeros_like(y)), None,
                                 length=settings.polish_iters)
-    # accept polish only if it did not lose feasibility
+    # accept polish only if it did not lose feasibility (tolerance scaled by
+    # the active bound magnitudes, NOT the inf-capped bounds)
     viol_p = jnp.maximum(jnp.max(matvec(x_p) - ub_f),
                          jnp.max(lb_f - matvec(x_p)))
     viol_0 = jnp.maximum(jnp.max(matvec(x) - ub_f),
                          jnp.max(lb_f - matvec(x)))
-    ok = viol_p <= jnp.maximum(viol_0, 1e-6 * jnp.max(jnp.abs(ub_f)))
+    tol = 1e-5 * (1.0 + jnp.max(jnp.abs(bvals)))
+    ok = viol_p <= jnp.maximum(viol_0, tol)
     x_out = jnp.where(ok, x_p, x)
     y_out = jnp.where(ok, d * nu, y)
     return x_out, y_out

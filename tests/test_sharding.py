@@ -1,0 +1,74 @@
+"""Sharded sweep tests on the virtual 8-device CPU mesh.
+
+Validates the multi-chip program shape the driver dry-runs: scenario
+sharding over the data axis, intra-solve Hessian psum over the mpc axis,
+and consistency with the single-device path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.ops import admm
+from go1_qp_mpc_controller_tpu.parallel import mesh as mesh_lib
+from go1_qp_mpc_controller_tpu.parallel import sweep
+
+SETTINGS = admm.ADMMSettings()  # 50 x 4 + polish
+
+
+def _scenarios(batch, dtype=jnp.float64):
+    key = jax.random.PRNGKey(0)
+    return sweep.random_scenarios(key, batch, dtype)
+
+
+def test_data_parallel_sweep_matches_single_device():
+    scn = _scenarios(16)
+    m8 = mesh_lib.make_mesh(mpc_parallel=1)
+    assert m8.shape[mesh_lib.DATA_AXIS] == 8
+    fn8 = sweep.make_sweep_fn(m8, 0.0025, SETTINGS)
+    out8 = fn8(scn)
+
+    m1 = mesh_lib.make_mesh(mpc_parallel=1, devices=jax.devices()[:1])
+    fn1 = sweep.make_sweep_fn(m1, 0.0025, SETTINGS)
+    out1 = fn1(scn)
+
+    np.testing.assert_allclose(np.asarray(out8.grf), np.asarray(out1.grf),
+                               atol=1e-8)
+    assert float(out8.stats["num_solves"]) == 16.0
+    assert float(out8.stats["max_primal_res"]) < 0.1
+
+
+def test_mpc_axis_hessian_psum_matches():
+    """(4 data x 2 mpc) mesh: sharded-contraction condensation equals the
+    replicated one."""
+    scn = _scenarios(8)
+    m42 = mesh_lib.make_mesh(mpc_parallel=2)
+    fn42 = sweep.make_sweep_fn(m42, 0.0025, SETTINGS)
+    out42 = fn42(scn)
+
+    m1 = mesh_lib.make_mesh(mpc_parallel=1, devices=jax.devices()[:1])
+    fn1 = sweep.make_sweep_fn(m1, 0.0025, SETTINGS)
+    out1 = fn1(scn)
+    np.testing.assert_allclose(np.asarray(out42.grf), np.asarray(out1.grf),
+                               atol=1e-6)
+
+
+def test_sweep_solutions_are_physical():
+    scn = _scenarios(32)
+    m8 = mesh_lib.make_mesh()
+    fn = sweep.make_sweep_fn(m8, 0.0025, SETTINGS)
+    out = fn(scn)
+    grf = np.asarray(out.grf)
+    contacts = np.asarray(scn.contacts)
+    mu = np.asarray(scn.mu)
+    # swing legs carry no force
+    assert np.abs(grf[~contacts]).max() < 0.05
+    # friction cones hold per scenario
+    fz = grf[..., 2]
+    assert np.all(fz > -0.05)
+    assert np.all(np.abs(grf[..., 0]) <= mu[:, None] * fz + 0.05)
+    assert np.all(np.abs(grf[..., 1]) <= mu[:, None] * fz + 0.05)
+    # stance legs together support a meaningful share of the weight
+    total_fz = fz.sum(-1)
+    weight = np.asarray(scn.mass) * 9.8
+    assert np.all(total_fz > 0.2 * weight)
