@@ -36,6 +36,15 @@ class ADMMSettings(NamedTuple):
 
     Total iteration count = segments * seg_iters; rho adapts between
     segments (each segment refactorizes once).
+
+    kkt_solver selects how the (n, n) ADMM linear systems are solved:
+      - "chol": Cholesky factor + triangular solves per iteration. Exact,
+        but triangular solves serialize on TPU (the 634-solves/s profile).
+      - "inv": explicit M^-1 once per segment; iterations become batched
+        matvecs (MXU-friendly).
+      - "schulz": M^-1 by Newton-Schulz iteration — pure matmuls end to
+        end, the TPU-native path. Refines the previous segment's inverse
+        after rho updates, so later segments converge in a few matmuls.
     """
     seg_iters: int = 50
     segments: int = 4
@@ -43,11 +52,17 @@ class ADMMSettings(NamedTuple):
     sigma: float = 1e-6
     alpha: float = 1.6
     rho_eq_scale: float = 1e3   # rho boost for lb == ub rows
-    rho_min: float = 1e-6
-    rho_max: float = 1e6
+    # tighter than OSQP's [1e-6, 1e6]: keeps the cost-scaled KKT matrix
+    # well-conditioned for float32 Newton-Schulz inversion
+    rho_min: float = 1e-3
+    rho_max: float = 1e3
     polish: bool = True
     polish_rho: float = 1e3     # AL penalty (x |P|) for the polish solves
     polish_iters: int = 2
+    kkt_solver: str = "schulz"
+    polish_solver: str = "chol"  # polish matrix is worse-conditioned
+    schulz_iters: int = 24      # cold-start Newton-Schulz steps
+    schulz_refine: int = 6      # per-segment refinement steps
 
 
 class ADMMSolution(NamedTuple):
@@ -57,6 +72,54 @@ class ADMMSolution(NamedTuple):
     rho: jnp.ndarray         # () final adapted rho (for warm restarts)
     primal_res: jnp.ndarray  # () max |Cx - z|
     dual_res: jnp.ndarray    # () max |Px + q + C'y|
+
+
+def _schulz_inverse(m_mat, iters, x0=None):
+    """Newton-Schulz matrix inverse: X <- X (2I - M X).
+
+    Pure matmuls (MXU-native, batch-friendly), quadratically convergent.
+    With x0 = M' / (||M||_1 ||M||_inf) convergence is guaranteed; a warm
+    x0 (previous segment's inverse) needs only a few steps.
+    """
+    n = m_mat.shape[-1]
+    eye2 = 2.0 * jnp.eye(n, dtype=m_mat.dtype)
+    norm1 = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-2))
+    norminf = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-1))
+    cold = jnp.swapaxes(m_mat, -1, -2) / (norm1 * norminf)
+    if x0 is None:
+        x0 = cold
+    else:
+        # safeguard: a warm start outside the convergence basin
+        # (||I - M x0|| >= 1, e.g. after a large rho jump) diverges — fall
+        # back to the guaranteed-convergent cold init
+        resid = jnp.eye(n, dtype=m_mat.dtype) - m_mat @ x0
+        rn = jnp.sqrt(jnp.sum(resid * resid))
+        x0 = jnp.where(rn < 0.9, x0, cold)
+
+    def body(_, x):
+        return x @ (eye2 - m_mat @ x)
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
+    """Returns (solve_fn, carry_minv) for the configured kkt_solver."""
+    solver = settings.kkt_solver if solver is None else solver
+    if solver == "chol":
+        chol = jnp.linalg.cholesky(m_mat)
+
+        def solve_fn(rhs):
+            w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+            return jax.scipy.linalg.solve_triangular(chol.T, w, lower=False)
+
+        return solve_fn, None
+    if solver == "inv":
+        minv = jnp.linalg.inv(m_mat)
+    else:  # schulz
+        iters = (settings.schulz_refine if warm_minv is not None
+                 else settings.schulz_iters)
+        minv = _schulz_inverse(m_mat, iters, warm_minv)
+    return (lambda rhs: minv @ rhs), minv
 
 
 def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
@@ -100,15 +163,15 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
             else warm_rho)
     z0 = jnp.clip(matvec(x0), lb_f, ub_f)
 
-    def segment(carry, _):
+    def segment(carry, minv_prev, rho_of_minv):
         x, z, y, rho = carry
         rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
         m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
-        chol = jnp.linalg.cholesky(m_mat)
-
-        def kkt_solve(rhs):
-            w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(chol.T, w, lower=False)
+        if minv_prev is not None:
+            # M scales ~ rho when the constraint term dominates, so rescale
+            # the warm inverse by the rho ratio before refining
+            minv_prev = minv_prev * (rho_of_minv / rho)
+        kkt_solve, minv = _make_kkt_solve(m_mat, settings, minv_prev)
 
         def body(_, c4):
             x, z, y = c4
@@ -142,25 +205,42 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         factor = jnp.clip(factor, 1e-2, 1e2)
         factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
         rho_new = jnp.clip(rho * factor, settings.rho_min, settings.rho_max)
-        return (x, z, y, rho_new), None
+        return (x, z, y, rho_new), minv, rho
 
-    (x, z, y, rho), _ = jax.lax.scan(
-        segment, (x0, z0, y0, rho0), None, length=settings.segments)
+    # segments unrolled so the Schulz inverse warm-carries across the rho
+    # updates (first segment cold, later ones a few refinement matmuls)
+    carry = (x0, z0, y0, rho0)
+    minv = None
+    rho_of_minv = rho0
+    for _ in range(settings.segments):
+        carry, minv, rho_of_minv = segment(carry, minv, rho_of_minv)
+    x, z, y, rho = carry
 
     if settings.polish:
         x, y = _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
-                       rmatvec_dense, x, y, settings)
+                       rmatvec_dense, x, y, settings, minv)
         z = jnp.clip(matvec(x), lb_f, ub_f)
+
+    # non-finite latch: a diverged scenario in a batch must not poison
+    # downstream consumers (the controller additionally NaN-guards,
+    # A1RobotControl.cpp:558-561)
+    finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    x = jnp.where(finite, x, jnp.zeros_like(x))
+    y = jnp.where(finite, y, jnp.zeros_like(y))
+    z = jnp.where(finite, z, jnp.zeros_like(z))
 
     y_out = y / cost
     primal = jnp.max(jnp.abs(matvec(x) - z))
     dual = jnp.max(jnp.abs(hessian @ x + gradient + rmatvec(y_out)))
+    big = jnp.asarray(1e6, x.dtype)
+    primal = jnp.where(finite, primal, big)
+    dual = jnp.where(finite, dual, big)
     return ADMMSolution(x=x, y=y_out, z=z, rho=rho,
                         primal_res=primal, dual_res=dual)
 
 
 def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
-            rmatvec_dense, x, y, settings):
+            rmatvec_dense, x, y, settings, warm_minv=None):
     """Masked active-set refinement (fixed-shape OSQP polish).
 
     Detects the active set from dual signs, then runs a few
@@ -180,11 +260,10 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
     rho_p = jnp.asarray(settings.polish_rho, dtype)
     m_mat = (pbar + settings.sigma * jnp.eye(n, dtype=dtype)
              + rmatvec_dense(rho_p * d))
-    chol = jnp.linalg.cholesky(m_mat)
-
-    def kkt_solve(rhs):
-        w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(chol.T, w, lower=False)
+    # the polish matrix (active-set penalty, rho_p x |P|) is much worse
+    # conditioned than the ADMM KKT — solved with its own solver choice
+    kkt_solve, _ = _make_kkt_solve(m_mat, settings, None,
+                                   solver=settings.polish_solver)
 
     def body(carry, _):
         x, nu = carry

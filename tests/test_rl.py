@@ -1,0 +1,136 @@
+"""RL policy stack tests: observation layout/scaling, policy inference,
+TorchScript weight conversion, servo stand, and mode switching.
+
+Mirrors the go1_rl_ctrl_cpp behavior (Go1Observation.hpp:150-166,
+Go1RLController.cpp:78-166) and the pytorch_debug round-trip validation
+(src/pytorch_debug/main.cpp:11-40) — here torch-vs-JAX on a freshly traced
+module with fixed seeds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go1_qp_mpc_controller_tpu.ctrl import rl
+from go1_qp_mpc_controller_tpu.models import policy as policy_lib
+
+
+def test_observation_layout_and_scaling():
+    rot = jnp.eye(3, dtype=jnp.float64)
+    rot_z = jnp.eye(3, dtype=jnp.float64)
+    vel = jnp.asarray([0.5, -0.25, 0.1], jnp.float64)
+    gyro = jnp.asarray([0.4, 0.8, -1.2], jnp.float64)
+    cmd = jnp.asarray([0.3, 0.1, 0.2], jnp.float64)
+    q = jnp.asarray(rl.DEFAULT_JOINT_POS, jnp.float64) + 0.1
+    dq = jnp.full((12,), 2.0, jnp.float64)
+    prev = jnp.arange(12, dtype=jnp.float64)
+    obs = np.asarray(rl.build_observation(rot, rot_z, vel, gyro, cmd, q, dq,
+                                          prev))
+    assert obs.shape == (48,)
+    np.testing.assert_allclose(obs[0:3], [1.0, -0.5, 0.2])      # vel x2
+    np.testing.assert_allclose(obs[3:6], [0.1, 0.2, -0.3])      # gyro x0.25
+    np.testing.assert_allclose(obs[6:9], [0.0, 0.0, -1.0])      # gravity
+    np.testing.assert_allclose(obs[9:12], [0.6, 0.2, 0.05])     # cmd scale
+    np.testing.assert_allclose(obs[12:24], 0.1)                 # q - q0
+    np.testing.assert_allclose(obs[24:36], 0.1)                 # dq x0.05
+    np.testing.assert_allclose(obs[36:48], np.arange(12))       # prev act
+
+
+def test_observation_yawed_frame():
+    """Base velocity is expressed in the yaw frame (Rz^T v)."""
+    from go1_qp_mpc_controller_tpu.utils import rotations
+    yaw = 0.7
+    rot = rotations.euler_to_rot_mat(jnp.asarray([0.0, 0.0, yaw]))
+    rot_z = rotations.rot_z(jnp.asarray(yaw))
+    vel = jnp.asarray([1.0, 0.0, 0.0])
+    obs = np.asarray(rl.build_observation(
+        rot, rot_z, vel, jnp.zeros(3), jnp.zeros(3),
+        jnp.asarray(rl.DEFAULT_JOINT_POS), jnp.zeros(12), jnp.zeros(12)))
+    np.testing.assert_allclose(obs[0:3],
+                               [2 * np.cos(yaw), -2 * np.sin(yaw), 0.0],
+                               atol=1e-7)
+
+
+def test_mlp_apply_shapes_and_batching():
+    params = policy_lib.init_mlp(jax.random.PRNGKey(0))
+    obs = jnp.ones((48,))
+    act = policy_lib.mlp_apply(params, obs)
+    assert act.shape == (12,)
+    batch = jnp.ones((7, 48,))
+    acts = policy_lib.mlp_apply(params, batch)
+    np.testing.assert_allclose(np.asarray(acts[0]), np.asarray(act),
+                               atol=1e-6)
+
+
+def test_torchscript_conversion_matches_torch():
+    """Traced torch MLP -> JAX pytree parity (the pytorch_debug check)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Linear(48, 512), torch.nn.ELU(),
+        torch.nn.Linear(512, 256), torch.nn.ELU(),
+        torch.nn.Linear(256, 128), torch.nn.ELU(),
+        torch.nn.Linear(128, 12))
+    net.eval()
+    scripted = torch.jit.trace(net, torch.ones(1, 48))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "actor.pt")
+        scripted.save(path)
+        params = policy_lib.load_torchscript_actor(path)
+    x = np.random.default_rng(1).normal(size=(5, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    out = np.asarray(policy_lib.mlp_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_advance_action_postprocessing():
+    params = policy_lib.init_mlp(jax.random.PRNGKey(0))
+    state = rl.init_rl_state()
+    obs = jnp.ones((48,))
+    new_state, cmd = rl.advance(state, params, obs)
+    q = np.asarray(cmd.q)
+    assert np.all(q >= np.asarray(rl.CLIP_POSE_LOWER) - 1e-7)
+    assert np.all(q <= np.asarray(rl.CLIP_POSE_UPPER) + 1e-7)
+    np.testing.assert_allclose(np.asarray(cmd.kp),
+                               np.asarray(rl.WALK_P_GAINS))
+    # prev action stored unscaled/clipped
+    assert np.abs(np.asarray(new_state.prev_action)).max() <= 100.0
+
+
+def test_servo_interpolation_reaches_target():
+    state = rl.init_rl_state()
+    q = jnp.asarray([0.0, 1.2, -2.0] * 4)
+    cmd = None
+    for _ in range(1000):
+        state, cmd = rl.advance_servo(state, q)
+    np.testing.assert_allclose(np.asarray(cmd.q),
+                               np.asarray(rl.SERVO_TARGET), atol=1e-6)
+    # midpoint check
+    state2 = rl.init_rl_state()
+    for _ in range(500):
+        state2, cmd2 = rl.advance_servo(state2, q)
+    np.testing.assert_allclose(
+        np.asarray(cmd2.q),
+        0.5 * np.asarray(q) + 0.5 * np.asarray(rl.SERVO_TARGET), atol=1e-6)
+
+
+def test_mode_switching_and_dispatch():
+    params = policy_lib.init_mlp(jax.random.PRNGKey(0))
+    state = rl.init_rl_state()
+    assert int(state.movement_mode) == 0
+    state = rl.switch_mode(state, jnp.asarray(True))
+    assert int(state.movement_mode) == 1
+    # dispatch: walking uses policy gains
+    args = (jnp.eye(3), jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.zeros(3), jnp.asarray(rl.DEFAULT_JOINT_POS), jnp.zeros(12))
+    state, cmd, obs = rl.rl_control_step(state, params, *args)
+    np.testing.assert_allclose(np.asarray(cmd.kp),
+                               np.asarray(rl.WALK_P_GAINS))
+    state = rl.switch_mode(state, jnp.asarray(True))
+    state, cmd, obs = rl.rl_control_step(state, params, *args)
+    np.testing.assert_allclose(np.asarray(cmd.kp),
+                               np.asarray(rl.SERVO_P_GAINS))
+    assert obs.shape == (48,)

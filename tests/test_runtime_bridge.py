@@ -1,0 +1,74 @@
+"""C++ real-time bridge tests: build, blackboard exchange, safety clamps,
+compensated-rate loop."""
+
+import numpy as np
+import pytest
+
+from go1_qp_mpc_controller_tpu.runtime import bridge
+
+
+@pytest.fixture(scope="module")
+def rtb():
+    b = bridge.RtBridge(power_level=5)
+    yield b
+    b.close()
+
+
+def test_sensor_roundtrip(rtb):
+    quat = np.array([1.0, 0.0, 0.0, 0.0])
+    acc = np.array([0.1, 0.2, 9.8])
+    gyro = np.array([0.01, -0.02, 0.03])
+    q = np.linspace(-1, 1, 12)
+    dq = np.linspace(0, 2, 12)
+    ff = np.array([10.0, 20.0, 30.0, 40.0])
+    rtb.push_sensors(quat, acc, gyro, q, dq, ff)
+    tick, s = rtb.read_sensors()
+    assert tick >= 1
+    np.testing.assert_allclose(s["quat"], quat)
+    np.testing.assert_allclose(s["joint_pos"], q)
+    np.testing.assert_allclose(s["foot_force"], ff)
+    # ticks increase
+    rtb.push_sensors(quat, acc, gyro, q, dq, ff)
+    tick2, _ = rtb.read_sensors()
+    assert tick2 == tick + 1
+
+
+def test_command_safety_clamps(rtb):
+    """PowerProtect: torque budget = power_level/10 * per-joint ceiling;
+    PositionLimit: q clamped to joint limits; NaN zeroed
+    (HardwareA1ROS.cpp:200-202 semantics)."""
+    tau = np.full(12, 100.0)          # way over any ceiling
+    tau[3] = np.nan
+    q = np.full(12, 10.0)             # beyond joint limits
+    rtb.push_command(tau, q, np.ones(12), np.ones(12))
+    _, c = rtb.read_command()
+    # power level 5 -> 50% budget of (23.7, 23.7, 35.55)
+    np.testing.assert_allclose(c["tau"][0], 23.7 * 0.5)
+    np.testing.assert_allclose(c["tau"][2], 35.55 * 0.5)
+    assert c["tau"][3] == 0.0         # NaN zeroed
+    np.testing.assert_allclose(c["q"][0], 0.9425)   # hip upper limit
+    np.testing.assert_allclose(c["q"][1], 2.7855)   # thigh upper limit
+    # negative direction
+    rtb.push_command(-tau, -q, np.ones(12), np.ones(12))
+    _, c = rtb.read_command()
+    np.testing.assert_allclose(c["tau"][0], -23.7 * 0.5)
+    np.testing.assert_allclose(c["q"][2], -2.6285)  # calf lower limit
+
+
+def test_rate_keeper_timing():
+    """Compensated 500 Hz loop holds its period within a loose CI bound."""
+    worst = bridge.timing_self_test(period_s=0.002, iters=200)
+    # non-RT kernel: allow generous jitter, but it must stay bounded
+    assert worst < 0.01, f"worst period error {worst*1e3:.2f} ms"
+
+
+def test_rate_keeper_object():
+    import time
+    rk = bridge.RateKeeper(0.001)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        rk.wait()
+    elapsed = time.perf_counter() - t0
+    assert 0.04 < elapsed < 0.5
+    assert rk.overruns < 50
+    rk.close()
