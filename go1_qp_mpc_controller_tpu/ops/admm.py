@@ -61,8 +61,8 @@ class ADMMSettings(NamedTuple):
     polish_iters: int = 2
     kkt_solver: str = "schulz"
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
-    schulz_iters: int = 24      # cold-start Newton-Schulz steps
-    schulz_refine: int = 6      # per-segment refinement steps
+    schulz_iters: int = 30      # Newton-Schulz steps (covers cond ~3e5)
+    schulz_refine: int = 6      # (unused: full schedule is always run)
 
 
 class ADMMSolution(NamedTuple):
@@ -82,19 +82,22 @@ def _schulz_inverse(m_mat, iters, x0=None):
     x0 (previous segment's inverse) needs only a few steps.
     """
     n = m_mat.shape[-1]
-    eye2 = 2.0 * jnp.eye(n, dtype=m_mat.dtype)
-    norm1 = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-2))
+    eye = jnp.eye(n, dtype=m_mat.dtype)
+    eye2 = 2.0 * eye
+    # SPD cold start: X0 = I / ||M||_inf gives eigs(M X0) in (1/cond, 1],
+    # i.e. ~log2(cond) iterations — the generic M'/(||M||_1 ||M||_inf)
+    # init squares the condition number and stalls on rho ~ 1e-3 KKTs
     norminf = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-1))
-    cold = jnp.swapaxes(m_mat, -1, -2) / (norm1 * norminf)
-    if x0 is None:
-        x0 = cold
-    else:
-        # safeguard: a warm start outside the convergence basin
-        # (||I - M x0|| >= 1, e.g. after a large rho jump) diverges — fall
-        # back to the guaranteed-convergent cold init
-        resid = jnp.eye(n, dtype=m_mat.dtype) - m_mat @ x0
+    cold = eye / norminf
+    if x0 is not None:
+        # safeguard: keep a warm start only inside the convergence basin
+        # (||I - M x0||_F < 1); e.g. after a large rho jump the scaled
+        # warm start can diverge — fall back to the guaranteed cold init
+        resid = eye - m_mat @ x0
         rn = jnp.sqrt(jnp.sum(resid * resid))
         x0 = jnp.where(rn < 0.9, x0, cold)
+    else:
+        x0 = cold
 
     def body(_, x):
         return x @ (eye2 - m_mat @ x)
@@ -116,9 +119,11 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
     if solver == "inv":
         minv = jnp.linalg.inv(m_mat)
     else:  # schulz
-        iters = (settings.schulz_refine if warm_minv is not None
-                 else settings.schulz_iters)
-        minv = _schulz_inverse(m_mat, iters, warm_minv)
+        # full iteration count even on warm starts: the safeguard may fall
+        # back to the cold init, which needs the complete schedule. Warm
+        # starts inside the basin just converge long before the end (the
+        # extra matmuls are the price of fixed shapes).
+        minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv)
     return (lambda rhs: minv @ rhs), minv
 
 
@@ -251,8 +256,14 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
     dtype = x.dtype
     n = x.shape[-1]
     delta = 1e-6 * jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
-    act_low = (y < -delta) & jnp.isfinite(lb)
-    act_up = (y > delta) & jnp.isfinite(ub)
+    # a row is active only if BOTH the dual says so AND the ADMM iterate
+    # sits near that bound — dual noise alone must not pin constraints
+    cx = matvec(x)
+    scale_b = 1.0 + jnp.maximum(jnp.abs(lb_f), jnp.abs(ub_f))
+    near_lb = (cx - lb_f) < 1e-3 * scale_b
+    near_ub = (ub_f - cx) < 1e-3 * scale_b
+    act_low = (y < -delta) & jnp.isfinite(lb) & near_lb
+    act_up = (y > delta) & jnp.isfinite(ub) & near_ub
     act = (act_low | act_up | eq)
     d = act.astype(dtype)
     bvals = jnp.where(act_up, ub_f, lb_f) * d   # masked: inactive rows -> 0
@@ -274,14 +285,22 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
 
     (x_p, nu), _ = jax.lax.scan(body, (x, jnp.zeros_like(y)), None,
                                 length=settings.polish_iters)
-    # accept polish only if it did not lose feasibility (tolerance scaled by
-    # the active bound magnitudes, NOT the inf-capped bounds)
+    # accept polish only if it (a) did not lose feasibility (tolerance
+    # scaled by the active bound magnitudes, NOT the inf-capped bounds) and
+    # (b) did not regress the objective — a wrong, over-restrictive active
+    # set yields a feasible but worse point that must be rejected
     viol_p = jnp.maximum(jnp.max(matvec(x_p) - ub_f),
                          jnp.max(lb_f - matvec(x_p)))
     viol_0 = jnp.maximum(jnp.max(matvec(x) - ub_f),
                          jnp.max(lb_f - matvec(x)))
     tol = 1e-5 * (1.0 + jnp.max(jnp.abs(bvals)))
-    ok = viol_p <= jnp.maximum(viol_0, tol)
+
+    def obj(v):
+        return 0.5 * v @ (pbar @ v) + qbar @ v
+
+    obj_tol = 1e-6 * (1.0 + jnp.abs(obj(x)))
+    ok = ((viol_p <= jnp.maximum(viol_0, tol))
+          & (obj(x_p) <= obj(x) + obj_tol))
     x_out = jnp.where(ok, x_p, x)
     y_out = jnp.where(ok, d * nu, y)
     return x_out, y_out
