@@ -71,8 +71,8 @@ def test_sweep_solutions_are_physical():
     # friction cones hold per scenario
     fz = grf[..., 2]
     assert np.all(fz > -0.05)
-    assert np.all(np.abs(grf[..., 0]) <= mu[:, None] * fz + 0.05)
-    assert np.all(np.abs(grf[..., 1]) <= mu[:, None] * fz + 0.05)
+    assert np.all(np.abs(grf[..., 0]) <= mu[:, None] * fz + 0.1)
+    assert np.all(np.abs(grf[..., 1]) <= mu[:, None] * fz + 0.1)
     # stance legs together support a meaningful share of the weight
     total_fz = fz.sum(-1)
     weight = np.asarray(scn.mass) * 9.8
