@@ -84,23 +84,33 @@ def _schulz_inverse(m_mat, iters, x0=None):
     n = m_mat.shape[-1]
     eye = jnp.eye(n, dtype=m_mat.dtype)
     eye2 = 2.0 * eye
-    # SPD cold start: X0 = I / ||M||_inf gives eigs(M X0) in (1/cond, 1],
-    # i.e. ~log2(cond) iterations — the generic M'/(||M||_1 ||M||_inf)
-    # init squares the condition number and stalls on rho ~ 1e-3 KKTs
+    # SPD cold start: X0 = I / (1.05 ||M||_inf) gives eigs(M X0) in
+    # (1/cond, 0.96], i.e. ~log2(cond) iterations — the generic
+    # M'/(||M||_1 ||M||_inf) init squares the condition number and stalls
+    # on rho ~ 1e-3 KKTs. The 5% margin matters: lambda_max can round to
+    # a hair above ||M||_inf on the MXU, and 2^30 Schulz doublings turn
+    # that hair into 1e37.
     norminf = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-1))
-    cold = eye / norminf
+    cold = eye / (1.05 * norminf)
+    # full f32 precision on the MXU: with the TPU's default bf16 matmul
+    # passes, the iteration stalls at the bf16 noise floor with some
+    # eigenvalue of MX a hair above 1, and the remaining squarings
+    # overflow it to 1e35+
+    hi = jax.lax.Precision.HIGHEST
+
     if x0 is not None:
         # safeguard: keep a warm start only inside the convergence basin
         # (||I - M x0||_F < 1); e.g. after a large rho jump the scaled
         # warm start can diverge — fall back to the guaranteed cold init
-        resid = eye - m_mat @ x0
+        resid = eye - jnp.matmul(m_mat, x0, precision=hi)
         rn = jnp.sqrt(jnp.sum(resid * resid))
         x0 = jnp.where(rn < 0.9, x0, cold)
     else:
         x0 = cold
 
     def body(_, x):
-        return x @ (eye2 - m_mat @ x)
+        return jnp.matmul(x, eye2 - jnp.matmul(m_mat, x, precision=hi),
+                          precision=hi)
 
     return jax.lax.fori_loop(0, iters, body, x0)
 
