@@ -1,0 +1,119 @@
+"""Sensor-log replay harness and signal recording.
+
+TPU-native equivalents of two reference subsystems:
+
+- the Gazebo adapter as an offline test harness (GazeboA1ROS.cpp:112-239):
+  :func:`replay_rollout` feeds a recorded sensor stream through the full
+  controller as one lax.scan — controller regression testing against logs
+  without a simulator in the loop,
+- the data_collection package's joint-signal logger and sine replay
+  (src/data_collection/src/HighLevel.cpp:8-50, signal_sine.cpp):
+  :class:`SignalLog` records named channels to .npz, and
+  :func:`sine_joint_signal` generates the replay excitation pattern.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.ctrl import controller
+from go1_qp_mpc_controller_tpu.ops import admm
+
+
+class SensorLog(NamedTuple):
+    """A time-stacked SensorData stream ((T, ...) leaves)."""
+    quat_wxyz: jnp.ndarray
+    imu_acc: jnp.ndarray
+    imu_ang_vel: jnp.ndarray
+    joint_pos: jnp.ndarray
+    joint_vel: jnp.ndarray
+    foot_force: jnp.ndarray
+
+
+def sensor_log_from_arrays(**kw):
+    return SensorLog(**{k: jnp.asarray(v) for k, v in kw.items()})
+
+
+def replay_rollout(ctrl_state, model, params, log, dt,
+                   solver_type=controller.MPC,
+                   settings=admm.ADMMSettings(), use_terrain_adapt=True,
+                   estimate=True):
+    """Run the controller over a recorded sensor stream.
+
+    Args:
+      ctrl_state: initial CtrlState.
+      model, params: RobotModel / CtrlParams.
+      log: SensorLog with (T, ...) leaves.
+      dt: () control period matching the log cadence.
+
+    Returns:
+      (final CtrlState, dict of (T, ...) traces: torques, grf, contacts).
+    """
+
+    def tick(state, sensors):
+        state = controller.sensor_update(state, model, sensors, dt,
+                                         estimate=estimate)
+        state = controller.control_step(
+            state, model, params, dt, solver_type=solver_type,
+            settings=settings, use_terrain_adapt=use_terrain_adapt)
+        out = {
+            "joint_torques": state.joint_torques,
+            "foot_forces_grf": state.foot_forces_grf,
+            "contacts": state.contacts,
+            "root_pos_est": state.root_pos,
+        }
+        return state, out
+
+    sensors_stream = controller.SensorData(
+        quat_wxyz=log.quat_wxyz, imu_acc=log.imu_acc,
+        imu_ang_vel=log.imu_ang_vel, joint_pos=log.joint_pos,
+        joint_vel=log.joint_vel, foot_force=log.foot_force)
+    return jax.lax.scan(tick, ctrl_state, sensors_stream)
+
+
+class SignalLog:
+    """Named-channel signal recorder -> .npz (the data_collection logger).
+
+    Collects per-tick values host-side; intended for low-rate debugging
+    and hardware experiments, not the hot path.
+    """
+
+    def __init__(self):
+        self._channels = {}
+
+    def append(self, name, value):
+        self._channels.setdefault(name, []).append(np.asarray(value))
+
+    def stacked(self, name):
+        return np.stack(self._channels[name])
+
+    def save(self, path):
+        np.savez_compressed(
+            path, **{k: np.stack(v) for k, v in self._channels.items()})
+
+    @staticmethod
+    def load(path):
+        data = np.load(path)
+        log = SignalLog()
+        for k in data.files:
+            log._channels[k] = list(data[k])
+        return log
+
+
+def sine_joint_signal(num_steps, dt, amplitude=0.3, freq_hz=0.5,
+                      base_pose=None):
+    """Sinusoidal 12-joint excitation like data_collection's replayed
+    qSineSignal.txt (src/data_collection/data): per-joint phase-offset
+    sines around a base pose.
+
+    Returns:
+      (num_steps, 12) joint position targets.
+    """
+    base = (np.array([0.0, 0.9, -1.8] * 4) if base_pose is None
+            else np.asarray(base_pose))
+    t = np.arange(num_steps)[:, None] * dt
+    phase = np.arange(12)[None, :] * (np.pi / 6)
+    return base[None, :] + amplitude * np.sin(
+        2 * np.pi * freq_hz * t + phase)

@@ -61,7 +61,7 @@ class ADMMSettings(NamedTuple):
     polish_iters: int = 2
     kkt_solver: str = "schulz"
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
-    schulz_iters: int = 30      # Newton-Schulz steps (covers cond ~3e5)
+    schulz_iters: int = 20      # Newton-Schulz steps (Jacobi-scaled init)
     schulz_refine: int = 6      # (unused: full schedule is always run)
 
 
@@ -84,14 +84,17 @@ def _schulz_inverse(m_mat, iters, x0=None):
     n = m_mat.shape[-1]
     eye = jnp.eye(n, dtype=m_mat.dtype)
     eye2 = 2.0 * eye
-    # SPD cold start: X0 = I / (1.05 ||M||_inf) gives eigs(M X0) in
-    # (1/cond, 0.96], i.e. ~log2(cond) iterations — the generic
+    # Jacobi-scaled SPD cold start: X0 = D^-1 / (1.05 ||D^-1 M||_inf)
+    # gives eigs(M X0) in (1/cond(D^-1 M), 0.96] — diagonal equilibration
+    # typically shrinks the condition number well below cond(M), cutting
+    # the ~log2(cond) iteration count. (The generic
     # M'/(||M||_1 ||M||_inf) init squares the condition number and stalls
-    # on rho ~ 1e-3 KKTs. The 5% margin matters: lambda_max can round to
-    # a hair above ||M||_inf on the MXU, and 2^30 Schulz doublings turn
-    # that hair into 1e37.
-    norminf = jnp.max(jnp.sum(jnp.abs(m_mat), axis=-1))
-    cold = eye / (1.05 * norminf)
+    # on rho ~ 1e-3 KKTs.) The 5% margin matters: lambda_max can round to
+    # a hair above the norm bound on the MXU, and 2^30 Schulz doublings
+    # turn that hair into 1e37.
+    dinv = 1.0 / jnp.diagonal(m_mat)
+    norminf = jnp.max(jnp.sum(jnp.abs(m_mat) * dinv[:, None], axis=-1))
+    cold = jnp.diag(dinv) / (1.05 * norminf)
     # full f32 precision on the MXU: with the TPU's default bf16 matmul
     # passes, the iteration stalls at the bf16 noise floor with some
     # eigenvalue of MX a hair above 1, and the remaining squarings
@@ -108,6 +111,9 @@ def _schulz_inverse(m_mat, iters, x0=None):
     else:
         x0 = cold
 
+    # full f32 throughout: a bf16 phase is tempting but unsafe — during
+    # the slow phase the contraction gap (1/cond) is below bf16 noise, so
+    # eigenvalues hover noise-above 1 and later squarings overflow them
     def body(_, x):
         return jnp.matmul(x, eye2 - jnp.matmul(m_mat, x, precision=hi),
                           precision=hi)
