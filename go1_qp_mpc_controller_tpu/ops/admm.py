@@ -65,6 +65,22 @@ class ADMMSettings(NamedTuple):
     schulz_refine: int = 6      # (unused: full schedule is always run)
 
 
+class WarmState(NamedTuple):
+    """Cross-tick solver carry — the TPU analog of the reference's
+    persistent warm-started OSQP instance (A1RobotControl.cpp:522-540).
+
+    Attributes:
+      x: (n,) primal warm start.
+      y: (m,) dual warm start (unscaled units).
+      rho: () adapted step size.
+      minv: (n, n) KKT inverse from the previous tick (Schulz-refined).
+    """
+    x: jnp.ndarray
+    y: jnp.ndarray
+    rho: jnp.ndarray
+    minv: jnp.ndarray
+
+
 class ADMMSolution(NamedTuple):
     x: jnp.ndarray           # (n,) primal solution
     y: jnp.ndarray           # (m,) dual solution
@@ -144,7 +160,8 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
 
 
 def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
-          settings, warm_x=None, warm_y=None, warm_rho=None):
+          settings, warm_x=None, warm_y=None, warm_rho=None,
+          return_warm=False):
     """Solve min 1/2 x'Px + q'x s.t. lb <= Cx <= ub for one QP.
 
     Args:
@@ -256,8 +273,14 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     big = jnp.asarray(1e6, x.dtype)
     primal = jnp.where(finite, primal, big)
     dual = jnp.where(finite, dual, big)
-    return ADMMSolution(x=x, y=y_out, z=z, rho=rho,
-                        primal_res=primal, dual_res=dual)
+    sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
+                       primal_res=primal, dual_res=dual)
+    if return_warm:
+        n = x.shape[-1]
+        minv_out = (minv if minv is not None
+                    else jnp.eye(n, dtype=x.dtype))
+        return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv_out)
+    return sol
 
 
 def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
@@ -322,6 +345,86 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
     return x_out, y_out
 
 
+def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
+               settings, warm):
+    """One warm tick: refine the carried inverse, run one ADMM segment.
+
+    The production cadence: consecutive control ticks solve nearly
+    identical QPs (foot positions move millimeters at 500 Hz), so the
+    previous tick's KKT inverse is a few Schulz refinement matmuls away
+    from the new one, and the primal/dual warm starts put ADMM deep inside
+    its convergence region. Mirrors how the reference reuses its OSQP
+    instance with updateHessian/Gradient/Bounds (A1RobotControl.cpp:533-540).
+
+    Args:
+      warm: WarmState from the previous tick (build the first one with
+        :func:`solve` + :func:`warm_state_from_solution`).
+
+    Returns:
+      (ADMMSolution, next WarmState).
+    """
+    n = gradient.shape[-1]
+    dtype = gradient.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    cost = 1.0 / jnp.maximum(jnp.max(jnp.abs(hessian)), 1e-12)
+    pbar = cost * hessian
+    qbar = cost * gradient
+    eq = jnp.isclose(lb, ub)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    lb_f = jnp.maximum(lb, -big)
+    ub_f = jnp.minimum(ub, big)
+    alpha = settings.alpha
+    sigma = settings.sigma
+
+    rho = warm.rho
+    rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
+    m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
+    minv = _schulz_inverse(m_mat, settings.schulz_refine, warm.minv)
+
+    x = warm.x
+    y = warm.y * cost
+    z = jnp.clip(matvec(x), lb_f, ub_f)
+
+    def body(_, c3):
+        x, z, y = c3
+        rhs = sigma * x - qbar + rmatvec(rho_vec * z - y)
+        x_t = minv @ rhs
+        z_t = matvec(x_t)
+        x_new = alpha * x_t + (1.0 - alpha) * x
+        z_mid = alpha * z_t + (1.0 - alpha) * z
+        z_new = jnp.clip(z_mid + y / rho_vec, lb_f, ub_f)
+        y_new = y + rho_vec * (z_mid - z_new)
+        return x_new, z_new, y_new
+
+    x, z, y = jax.lax.fori_loop(0, settings.seg_iters, body, (x, z, y))
+
+    finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    x = jnp.where(finite, x, jnp.zeros_like(x))
+    y = jnp.where(finite, y, jnp.zeros_like(y))
+    z = jnp.where(finite, z, jnp.zeros_like(z))
+
+    y_out = y / cost
+    primal = jnp.max(jnp.abs(matvec(x) - z))
+    dual = jnp.max(jnp.abs(hessian @ x + gradient + rmatvec(y_out)))
+    sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
+                       primal_res=jnp.where(finite, primal, 1e6),
+                       dual_res=jnp.where(finite, dual, 1e6))
+    return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv)
+
+
+def warm_state_from_solution(sol, minv_seed=None, n=None, dtype=None):
+    """Build a WarmState after a cold :func:`solve`.
+
+    The cold path does not expose its internal inverse, so seed with
+    ``minv_seed`` if available, else identity (the first warm tick's
+    Schulz refinement starts safeguarded-cold).
+    """
+    n = sol.x.shape[-1] if n is None else n
+    dtype = sol.x.dtype if dtype is None else dtype
+    minv = (jnp.eye(n, dtype=dtype) if minv_seed is None else minv_seed)
+    return WarmState(x=sol.x, y=sol.y, rho=sol.rho, minv=minv)
+
+
 # ------------------- MPC-specialized entry points -------------------------
 
 def _pyramid_ctc_dense(w, mu, dtype):
@@ -361,7 +464,7 @@ def _pyramid_ctc_dense(w, mu, dtype):
 
 
 def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
-              warm_rho=None, mu=None):
+              warm_rho=None, mu=None, return_warm=False):
     """Solve one condensed MPC QP (srb.CondensedQP) end to end."""
     from go1_qp_mpc_controller_tpu.config import params as P
     mu = P.MPC_MU if mu is None else mu
@@ -371,4 +474,16 @@ def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
     rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
     return solve(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec, rmatvec,
                  dense, settings, warm_x=warm_x, warm_y=warm_y,
-                 warm_rho=warm_rho)
+                 warm_rho=warm_rho, return_warm=return_warm)
+
+
+def mpc_solve_warm(qp, warm, settings=ADMMSettings(), mu=None):
+    """Warm-tick MPC solve (see :func:`solve_warm`)."""
+    from go1_qp_mpc_controller_tpu.config import params as P
+    mu = P.MPC_MU if mu is None else mu
+    dense = functools.partial(_pyramid_ctc_dense, mu=mu,
+                              dtype=qp.hessian.dtype)
+    matvec = functools.partial(srb.constraint_matvec, mu=mu)
+    rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
+    return solve_warm(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec,
+                      rmatvec, dense, settings, warm)

@@ -1,0 +1,80 @@
+"""Warm-started tick sequence: accuracy of the production solve cadence.
+
+The reference reuses one OSQP instance across control ticks
+(A1RobotControl.cpp:522-540); here the WarmState (primal/dual/rho/KKT
+inverse) carries across ticks and each tick costs only a few Schulz
+refinement matmuls + one short ADMM segment. These tests verify that the
+warm path tracks the cold-solve answers through a drifting tick sequence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.compat import oracle
+from go1_qp_mpc_controller_tpu.models import srb
+from go1_qp_mpc_controller_tpu.ops import admm
+
+DTYPE = jnp.float64
+WARM = admm.ADMMSettings(seg_iters=60, segments=1, polish=False,
+                         schulz_refine=4)
+
+
+def _tick_qp(f, x0):
+    return srb.condense(
+        jnp.asarray(f["a_d"], DTYPE), jnp.asarray(f["b_d_list"], DTYPE),
+        x0, jnp.asarray(f["x_ref"], DTYPE).reshape(10, 13),
+        jnp.asarray(f["q_weights"], DTYPE),
+        jnp.asarray(f["r_weights"], DTYPE),
+        jnp.asarray(f["contacts"], DTYPE))
+
+
+def test_warm_ticks_track_cold_solutions():
+    f = oracle.test_mpc_fixture()
+    x0 = jnp.asarray(f["x0"], DTYPE)
+    qp0 = _tick_qp(f, x0)
+    cold_sol, warm = admm.mpc_solve(qp0, admm.ADMMSettings(),
+                                    return_warm=True)
+    drift = jnp.zeros(13, DTYPE).at[9].set(0.002).at[5].set(-0.0005)
+    errs = []
+    for k in range(20):
+        x0 = x0 + drift          # ~mm-scale per-tick state drift
+        qp_k = _tick_qp(f, x0)
+        sol, warm = admm.mpc_solve_warm(qp_k, warm, WARM)
+        ref = admm.mpc_solve(qp_k, admm.ADMMSettings())
+        errs.append(np.abs(np.asarray(sol.x[:12]) -
+                           np.asarray(ref.x[:12])).max())
+    errs = np.array(errs)
+    # warm ticks match full cold solves on the applied forces
+    assert errs.max() < 1e-3, errs
+    # and the solver state stays healthy
+    assert float(sol.primal_res) < 5e-4
+    assert float(sol.dual_res) < 5e-4
+
+
+def test_warm_tick_batch_consistency():
+    """vmap over scenarios of the warm tick == per-scenario ticks."""
+    f = oracle.test_mpc_fixture()
+    n = 3
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.tile(f["x0"], (n, 1))
+                      + rng.normal(size=(n, 13)) * 0.01, DTYPE)
+
+    def cold(x0):
+        return admm.mpc_solve(_tick_qp(f, x0), admm.ADMMSettings(),
+                              return_warm=True)
+
+    def warm_tick(x0, warm):
+        return admm.mpc_solve_warm(_tick_qp(f, x0), warm, WARM)
+
+    _, warms = jax.vmap(cold)(x0s)
+    x1s = x0s + 0.001
+    batched, _ = jax.vmap(warm_tick)(x1s, warms)
+    for i in range(n):
+        _, w = cold(x0s[i])
+        single, _ = warm_tick(x1s[i], w)
+        # vmap reassociates float reductions and the ADMM tail wanders
+        # within its residual band (~1e-4), so agreement is gated at the
+        # solver tolerance, not bitwise
+        np.testing.assert_allclose(np.asarray(batched.x[i]),
+                                   np.asarray(single.x), atol=1e-3)
