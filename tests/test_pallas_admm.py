@@ -1,0 +1,78 @@
+"""Pallas warm-tick kernel vs the XLA warm path (interpreter mode on CPU).
+
+Same mathematics, two executions: the VMEM-resident kernel must agree with
+admm.mpc_solve_warm to solver tolerance on a drifting tick sequence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.compat import oracle
+from go1_qp_mpc_controller_tpu.models import srb
+from go1_qp_mpc_controller_tpu.ops import admm, pallas_admm
+
+DTYPE = jnp.float32
+WARM = admm.ADMMSettings(seg_iters=40, segments=1, polish=False,
+                         schulz_refine=4)
+
+
+def _batched_qp(f, x0s):
+    def one(x0):
+        return srb.condense(
+            jnp.asarray(f["a_d"], DTYPE), jnp.asarray(f["b_d_list"], DTYPE),
+            x0, jnp.asarray(f["x_ref"], DTYPE).reshape(10, 13),
+            jnp.asarray(f["q_weights"], DTYPE),
+            jnp.asarray(f["r_weights"], DTYPE),
+            jnp.asarray(f["contacts"], DTYPE))
+    return jax.vmap(one)(x0s)
+
+
+def test_plane_layout_roundtrip():
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(4, 200)).astype(np.float32))
+    w = pallas_admm._to_planes(v)
+    assert w.shape == (4, 5, 64)
+    np.testing.assert_allclose(np.asarray(pallas_admm._from_planes(w)),
+                               np.asarray(v))
+
+
+def test_selection_matrices_match_constraint_ops():
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(120,)).astype(np.float32)
+    sx, sy, sz = pallas_admm._selection_matrices()
+    up = np.pad(u, (0, 8))
+    mu = 0.3
+    px, py, pz = up @ sx, up @ sy, up @ sz
+    rows = np.stack([px + mu * pz, px - mu * pz, py + mu * pz,
+                     py - mu * pz, pz], axis=0)[:, :40]
+    ref = np.asarray(srb.constraint_matvec(jnp.asarray(u))).reshape(40, 5).T
+    np.testing.assert_allclose(rows, ref, atol=1e-6)
+
+
+def test_pallas_warm_tick_matches_xla():
+    f = oracle.test_mpc_fixture()
+    b = 8
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(np.tile(f["x0"], (b, 1))
+                      + rng.normal(size=(b, 13)) * 0.01, DTYPE)
+    mus = jnp.full((b,), 0.3, DTYPE)
+
+    cold = jax.vmap(lambda qp: admm.mpc_solve(
+        qp, admm.ADMMSettings(polish=False), return_warm=True))
+    _, warms = cold(_batched_qp(f, x0s))
+
+    x1s = x0s + 0.002
+    qps = _batched_qp(f, x1s)
+    sol_p, warm_p = pallas_admm.mpc_solve_warm_batch(
+        qps, warms, mus, WARM, interpret=True)
+
+    sol_x = jax.vmap(lambda qp, w: admm.mpc_solve_warm(qp, w, WARM)[0])(
+        qps, warms)
+
+    err = np.abs(np.asarray(sol_p.x) - np.asarray(sol_x.x)).max()
+    assert err < 1e-3, f"pallas vs xla warm tick: {err}"
+    assert np.asarray(sol_p.primal_res).max() < 0.1
+    # duals agree too (scaled consistently)
+    yerr = np.abs(np.asarray(sol_p.y) - np.asarray(sol_x.y)).max()
+    assert yerr < 1e-1 * (1 + np.abs(np.asarray(sol_x.y)).max())
