@@ -444,23 +444,16 @@ def _pyramid_ctc_dense(w, mu, dtype):
     o_x = mu * (w0 - w1)
     o_y = mu * (w2 - w3)
     d_z = mu * mu * (w0 + w1 + w2 + w3) + w4
-    blocks = jnp.stack([
-        jnp.stack([d_x, zero, o_x], axis=-1),
-        jnp.stack([zero, d_y, o_y], axis=-1),
-        jnp.stack([o_x, o_y, d_z], axis=-1),
-    ], axis=-2).astype(dtype)            # (40, 3, 3)
-    nb = wb.shape[0]
-    out = jnp.zeros((nb * 3, nb * 3), dtype)
-    ii = jnp.arange(nb * 3)
-    blk = ii // 3
-    # scatter the 3x3 blocks onto the diagonal
-    rows = jnp.repeat(jnp.arange(nb) * 3, 9) + jnp.tile(
-        jnp.repeat(jnp.arange(3), 3), nb)
-    cols = jnp.repeat(jnp.arange(nb) * 3, 9) + jnp.tile(
-        jnp.tile(jnp.arange(3), 3), nb)
-    out = out.at[rows, cols].set(blocks.reshape(-1))
-    del ii, blk
-    return out
+    # The 3x3 blocks live on three strided diagonals: main (dx, dy, dz
+    # interleaved), +-1 (the yz coupling at offset (3k+1, 3k+2)), and +-2
+    # (the xz coupling at (3k, 3k+2)). Three jnp.diag constructions beat a
+    # 14k-element scatter by a wide margin on TPU.
+    main = jnp.stack([d_x, d_y, d_z], axis=-1).reshape(-1)       # (120,)
+    off1 = jnp.stack([zero, o_y, zero], axis=-1).reshape(-1)[:-1]
+    off2 = jnp.stack([o_x, zero, zero], axis=-1).reshape(-1)[:-2]
+    out = (jnp.diag(main) + jnp.diag(off1, 1) + jnp.diag(off1, -1)
+           + jnp.diag(off2, 2) + jnp.diag(off2, -2))
+    return out.astype(dtype)
 
 
 def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,

