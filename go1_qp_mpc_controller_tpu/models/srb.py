@@ -119,28 +119,27 @@ def condense(a_d, b_d_list, x0, x_ref, q_weights, r_weights, contacts,
     """
     dtype = a_d.dtype
 
-    # --- A powers once, then one-shot block assembly ---------------------
-    # B_qp[i, j] = A_d^(i-j) @ B_d[j] (i > j; the reference's A_qp block k
-    # is A^(k+1)), B_d[i] on the diagonal (ConvexMpc.cpp:184-202). A
-    # 10-step scan of full (13, 120) rows is latency-bound on TPU; instead
-    # compute the 10 tiny A powers, form all prods[k, j] = A_d^k @ B_d[j]
-    # in one einsum, and gather the lower-triangular block grid.
-    def pow_step(a_pow, _):
-        nxt = a_pow @ a_d
-        return nxt, a_pow
+    # --- A_qp rows: A_d^(i+1), and B_qp rows via the block recursion -----
+    # B_qp[i, :] = A_d @ B_qp[i-1, :], then B_qp[i, i] = B_d[i]
+    # (ConvexMpc.cpp:184-202). A 10-step scan of (13, 120) rows measures
+    # faster on TPU than gather- or concat-based one-shot assemblies
+    # (tick profiling: 21 ms vs 41/60 ms at batch 4096).
+    def step(carry, b_d_i_and_idx):
+        a_pow_prev, b_row_prev = carry
+        b_d_i, i = b_d_i_and_idx
+        a_pow = jnp.where(i == 0, a_d, a_pow_prev @ a_d)
+        b_row = b_row_prev.reshape(NX, H * NU)
+        b_row = a_d @ b_row                       # shift previous row down
+        b_row = b_row.reshape(NX, H, NU)
+        b_row = jnp.where(
+            (jnp.arange(H) == i)[None, :, None], b_d_i[:, None, :], b_row)
+        return (a_pow, b_row), (a_pow, b_row)
 
-    _, a_pows = jax.lax.scan(pow_step, jnp.eye(NX, dtype=dtype), None,
-                             length=H)          # (H, 13, 13): A^0..A^(H-1)
-    a_qp = jnp.einsum('kab,bc->kac', a_pows, a_d)   # A^(i+1), i=0..H-1
-    prods = jnp.einsum('kab,jbc->kjac', a_pows, b_d_list)  # (H, H, 13, 12)
-    ii = jnp.arange(H)[:, None]
-    jj = jnp.arange(H)[None, :]
-    kidx = jnp.clip(ii - jj, 0, H - 1)               # power for block (i,j)
-    blocks = prods[kidx, jj]                         # (H, H, 13, 12)
-    blocks = jnp.where((ii == jj)[:, :, None, None],
-                       b_d_list[None], blocks)
-    blocks = jnp.where((ii < jj)[:, :, None, None], 0.0, blocks)
-    b_qp_flat = jnp.swapaxes(blocks, 1, 2).reshape(H * NX, H * NU)
+    init = (jnp.eye(NX, dtype=dtype), jnp.zeros((NX, H, NU), dtype))
+    idx = jnp.arange(H)
+    (_, _), (a_qp, b_qp) = jax.lax.scan(step, init, (b_d_list, idx))
+    # a_qp: (H, 13, 13); b_qp: (H, 13, H, 12) -> (H*13, H*12)
+    b_qp_flat = b_qp.reshape(H * NX, H * NU)
 
     # --- Hessian / gradient (factor 2 matches ConvexMpc.cpp:20,41) -------
     qw = jnp.tile(2.0 * q_weights, H)                       # (130,)
