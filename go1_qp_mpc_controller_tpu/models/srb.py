@@ -23,6 +23,7 @@ import numpy as np
 
 from go1_qp_mpc_controller_tpu.config import params as P
 from go1_qp_mpc_controller_tpu.utils import rotations
+from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
 
 H = P.PLAN_HORIZON
 NX = P.MPC_STATE_DIM   # 13
@@ -99,6 +100,7 @@ def discretize(a_c, b_c, dt):
     return eye + a_c * dt, b_c * dt
 
 
+@f32_matmuls
 def condense(a_d, b_d_list, x0, x_ref, q_weights, r_weights, contacts,
              fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX):
     """Build the dense condensed QP (ConvexMpc.cpp:158-245).

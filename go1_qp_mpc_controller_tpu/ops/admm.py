@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from go1_qp_mpc_controller_tpu.models import srb
+from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
 
 
 class ADMMSettings(NamedTuple):
@@ -159,6 +160,7 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
     return (lambda rhs: minv @ rhs), minv
 
 
+@f32_matmuls
 def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
           settings, warm_x=None, warm_y=None, warm_rho=None,
           return_warm=False):
@@ -345,6 +347,7 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
     return x_out, y_out
 
 
+@f32_matmuls
 def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
                settings, warm):
     """One warm tick: refine the carried inverse, run one ADMM segment.

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from go1_qp_mpc_controller_tpu.utils import rotations
+from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
 
 STATE_SIZE = 18
 MEAS_SIZE = 28
@@ -63,6 +64,7 @@ def init_state(root_rot_mat, foot_pos_rel, dtype=None):
     return x, 3.0 * jnp.eye(STATE_SIZE, dtype=dtype)
 
 
+@f32_matmuls
 def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
                       foot_pos_rel, foot_vel_rel, foot_force, movement_mode,
                       assume_flat_ground=True):

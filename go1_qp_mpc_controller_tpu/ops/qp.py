@@ -16,6 +16,7 @@ import numpy as np
 from go1_qp_mpc_controller_tpu.config import params as P
 from go1_qp_mpc_controller_tpu.ops import admm
 from go1_qp_mpc_controller_tpu.utils import rotations
+from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
 
 
 class BalanceQP(NamedTuple):
@@ -70,6 +71,7 @@ def desired_root_acc(ctrl, params, mass):
     return jnp.concatenate([lin, ang])
 
 
+@f32_matmuls
 def build_balance_qp(root_acc, root_rot_mat_z, foot_pos_abs, contacts,
                      q_weights=None, r_weight=P.QP_R_WEIGHT,
                      f_min=P.QP_F_MIN, f_max=P.QP_F_MAX):
