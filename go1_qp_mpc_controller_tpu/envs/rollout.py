@@ -32,12 +32,14 @@ class RolloutTrace(NamedTuple):
     foot_forces_grf: jnp.ndarray  # (T, 4, 3)
     contacts: jnp.ndarray       # (T, 4)
     est_root_pos: jnp.ndarray   # (T, 3) estimator output
+    terrain_pitch: jnp.ndarray  # (T,) estimated terrain pitch
 
 
 def init_carry(model, params, height=0.3, movement_mode=0,
-               dtype=jnp.float32):
+               dtype=jnp.float32, ground_coef=None):
     """Standing start: plant at ``height``, controller state synced to it."""
-    sim = srb_sim.init_sim_state(model, height, dtype)
+    sim = srb_sim.init_sim_state(model, height, dtype,
+                                 ground_coef=ground_coef)
     ctrl = types.init_ctrl_state(model, dtype)
     feet_body = sim.foot_pos_world - sim.root_pos
     ekf_x, ekf_p = ekf.init_state(sim.root_rot, feet_body)
@@ -60,7 +62,8 @@ def init_carry(model, params, height=0.3, movement_mode=0,
 def rollout(carry, model, params, num_steps, dt,
             solver_type=controller.MPC,
             settings=admm.ADMMSettings(),
-            command_fn=None, estimate=True, use_terrain_adapt=True):
+            command_fn=None, estimate=True, use_terrain_adapt=True,
+            ground_coef=None):
     """Run ``num_steps`` closed-loop ticks; returns (carry, RolloutTrace).
 
     Args:
@@ -97,7 +100,7 @@ def rollout(carry, model, params, num_steps, dt,
 
         sim_new, forces_z = srb_sim.step(
             sim, model, ctrl.joint_torques, ctrl.contacts,
-            ctrl.foot_pos_target_last_time, dt)
+            ctrl.foot_pos_target_last_time, dt, ground_coef=ground_coef)
 
         trace = RolloutTrace(
             root_pos=sim_new.root_pos,
@@ -107,6 +110,7 @@ def rollout(carry, model, params, num_steps, dt,
             foot_forces_grf=ctrl.foot_forces_grf,
             contacts=ctrl.contacts,
             est_root_pos=ctrl.root_pos,
+            terrain_pitch=ctrl.terrain_pitch_angle,
         )
         return RolloutCarry(ctrl=ctrl, sim=sim_new,
                             stance_forces_z=forces_z), trace

@@ -47,10 +47,26 @@ class SimState(NamedTuple):
     last_acc_world: jnp.ndarray
 
 
-def init_sim_state(model, height=0.3, dtype=jnp.float32):
-    """Robot standing at ``height`` with feet under the default stance."""
+def ground_height(ground_coef, xy):
+    """Planar terrain model z = g0 + gx x + gy y.
+
+    Args:
+      ground_coef: (3,) = (g0, gx, gy); zeros = flat ground.
+      xy: (..., 2) horizontal position.
+
+    Returns:
+      (...) terrain height.
+    """
+    return (ground_coef[0] + ground_coef[1] * xy[..., 0]
+            + ground_coef[2] * xy[..., 1])
+
+
+def init_sim_state(model, height=0.3, dtype=jnp.float32, ground_coef=None):
+    """Robot standing at ``height`` with feet planted on the terrain."""
     feet = model.default_foot_pos.astype(dtype)
-    feet_world = feet.at[:, 2].set(0.0)
+    if ground_coef is None:
+        ground_coef = jnp.zeros(3, dtype)
+    feet_world = feet.at[:, 2].set(ground_height(ground_coef, feet[:, :2]))
     root = jnp.asarray([0.0, 0.0, height], dtype)
     joint0 = kinematics.inverse_kinematics(
         feet_world - root, model.leg_geometry.rho_fix).reshape(12)
@@ -109,7 +125,8 @@ def read_sensors(sim, model, contacts, stance_forces_z, dt):
                       foot_force=foot_force)
 
 
-def step(sim, model, joint_torques, contacts, swing_targets_rel, dt):
+def step(sim, model, joint_torques, contacts, swing_targets_rel, dt,
+         ground_coef=None):
     """Advance the plant by ``dt``.
 
     Args:
@@ -120,6 +137,7 @@ def step(sim, model, joint_torques, contacts, swing_targets_rel, dt):
       swing_targets_rel: (4, 3) yaw-frame swing-foot targets (the
         controller's Bezier points this tick).
       dt: () step.
+      ground_coef: optional (3,) planar terrain (g0, gx, gy); None = flat.
 
     Returns:
       (new SimState, (4,) applied stance normal forces).
@@ -161,9 +179,12 @@ def step(sim, model, joint_torques, contacts, swing_targets_rel, dt):
     swing_world = (swing_targets_rel @ rot_z.T) + root_pos
     feet_world_new = jnp.where(contacts[:, None], sim.foot_pos_world,
                                swing_world)
-    # feet cannot go below ground
+    # feet cannot go below the terrain
+    if ground_coef is None:
+        ground_coef = jnp.zeros(3, dtype)
+    gz = ground_height(ground_coef, feet_world_new[:, :2])
     feet_world_new = feet_world_new.at[:, 2].set(
-        jnp.maximum(feet_world_new[:, 2], 0.0))
+        jnp.maximum(feet_world_new[:, 2], gz))
 
     # carry THIS tick's joints so the next read_sensors finite-differences
     # joint velocity across the step
