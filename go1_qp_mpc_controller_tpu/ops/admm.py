@@ -60,6 +60,11 @@ class ADMMSettings(NamedTuple):
     polish: bool = True
     polish_rho: float = 1e3     # AL penalty (x |P|) for the polish solves
     polish_iters: int = 2
+    # float64 terminal refinement: float32 inputs floor at ~2e-2 N on the
+    # r_weights~1e-6 flat directions (fp noise / curvature); one masked
+    # active-set solve in emulated f64 recovers strict 1e-3 parity.
+    # Requires jax x64 to be enabled; silently inert otherwise.
+    refine_f64: bool = False
     kkt_solver: str = "schulz"
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
     schulz_iters: int = 20      # Newton-Schulz steps (Jacobi-scaled init)
@@ -260,6 +265,20 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         x, y = _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
                        rmatvec_dense, x, y, settings, minv)
         z = jnp.clip(matvec(x), lb_f, ub_f)
+
+    if settings.refine_f64 and dtype != jnp.float64:
+        if jnp.zeros((), "float64").dtype == jnp.dtype("float64"):  # x64 on
+            x64, y64 = _polish(
+                pbar.astype(jnp.float64), qbar.astype(jnp.float64),
+                lb.astype(jnp.float64), ub.astype(jnp.float64),
+                lb_f.astype(jnp.float64), ub_f.astype(jnp.float64), eq,
+                matvec, rmatvec,
+                lambda w: rmatvec_dense(w.astype(dtype)).astype(jnp.float64),
+                x.astype(jnp.float64), y.astype(jnp.float64),
+                settings._replace(polish_iters=4, polish_solver="inv"))
+            x = x64.astype(dtype)
+            y = y64.astype(dtype)
+            z = jnp.clip(matvec(x), lb_f, ub_f)
 
     # non-finite latch: a diverged scenario in a batch must not poison
     # downstream consumers (the controller additionally NaN-guards,

@@ -76,6 +76,17 @@ def test_jax_admm_f32_accuracy():
     assert err < 5e-2, f"f32 GRF error = {err}"
 
 
+def test_jax_admm_f32_with_f64_refinement_hits_parity():
+    """float32 inputs + one emulated-f64 active-set refinement recover the
+    strict 1e-3 GRF parity budget (the flat-direction fp-noise floor is
+    solved exactly on the detected active set)."""
+    grf_ref, _, _, _ = _fixture_solution()
+    qp_jax = _fixture_jax_qp(jnp.float32)
+    sol = admm.mpc_solve(qp_jax, admm.ADMMSettings(refine_f64=True))
+    err = np.abs(np.asarray(sol.x[:12]).reshape(4, 3) - grf_ref).max()
+    assert err < 1e-3, f"f32+refine GRF error = {err}"
+
+
 def test_warm_start_converges_faster():
     qp_jax = _fixture_jax_qp()
     cold = admm.mpc_solve(qp_jax, admm.ADMMSettings())
