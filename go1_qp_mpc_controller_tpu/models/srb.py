@@ -165,6 +165,88 @@ def condense(a_d, b_d_list, x0, x_ref, q_weights, r_weights, contacts,
     return CondensedQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
 
 
+def _toeplitz_mask(dtype=np.float32):
+    """Constant M[k, l, i, j] = 1 iff block (i, j) of B'B receives G_k'QG_l,
+    i.e. i + k == j + l <= H-1 (B_qp = sum_k Shift_k (x) G_k)."""
+    k = np.arange(H)[:, None, None, None]
+    l = np.arange(H)[None, :, None, None]
+    i = np.arange(H)[None, None, :, None]
+    j = np.arange(H)[None, None, None, :]
+    m = ((i + k) == (j + l)) & ((i + k) <= H - 1)
+    return m.astype(dtype)
+
+
+_TOEPLITZ_MASK = _toeplitz_mask()
+# gradient window: w[k, j, i] = 1 iff i == j + k
+_WINDOW_MASK = (
+    (np.arange(H)[:, None, None] + np.arange(H)[None, :, None])
+    == np.arange(H)[None, None, :]).astype(np.float32)
+
+
+@f32_matmuls
+def condense_toeplitz(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
+                      fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX):
+    """Condensation specialized to a constant B_d across the horizon.
+
+    The reference's controller path holds foot positions constant over the
+    horizon (A1RobotControl.cpp:498-514), making B_qp block-Toeplitz:
+    B_qp[i, j] = G_(i-j) with G_k = A_d^k B_d. The Hessian then assembles
+    from the 10x10 grid P[k, l] = G_k' Qw G_l through one constant-mask
+    einsum instead of the (120, 130) x (130, 120) product — ~8x fewer
+    flops per scenario than :func:`condense`, bit-identical semantics.
+
+    Measured note (TPU v5e, batch 4096): XLA lowers the small-dim mask
+    einsums poorly and this runs ~1.6x SLOWER than the scan-based
+    :func:`condense` (34.7 vs 21 ms); kept because the Toeplitz structure
+    is the right shape for a fused Pallas condensation kernel, and it wins
+    on flops-bound backends.
+
+    Args:
+      a_d: (13, 13); b_d: (13, 12) shared across steps.
+      Remaining args as in :func:`condense`.
+
+    Returns:
+      CondensedQP.
+    """
+    dtype = a_d.dtype
+
+    def step(carry, _):
+        g_prev, x_prev = carry
+        g_next = a_d @ g_prev          # G_k = A^k B_d
+        x_next = a_d @ x_prev          # A^(k+1) x0
+        return (g_next, x_next), (g_prev, x_next)
+
+    (_, _), (g_list, x_pred) = jax.lax.scan(
+        step, (b_d, x0), None, length=H)   # G_0..G_9; A^1 x0..A^10 x0
+
+    qw = 2.0 * q_weights                                    # (13,)
+    gq = g_list * qw[None, :, None]                         # Qw G_k
+    p_grid = jnp.einsum('kcx,lcy->klxy', gq, g_list)        # (H, H, 12, 12)
+    mask = jnp.asarray(_TOEPLITZ_MASK, dtype)
+    h_blocks = jnp.einsum('klij,klxy->ixjy', mask, p_grid)
+    hessian = (h_blocks.reshape(H * NU, H * NU)
+               + jnp.diag(jnp.tile(2.0 * r_weights, H)))
+
+    # gradient: g_j = sum_k G_k' Qw r_(k+j), r_i = A^(i+1) x0 - xref_i
+    resid = x_pred - x_ref                                  # (H, 13)
+    # window mask w[k, j, i] = 1 iff i == j + k (constant)
+    win_mask = jnp.asarray(_WINDOW_MASK, dtype)
+    gradient = jnp.einsum('kcx,kji,ic->jx', gq, win_mask,
+                          resid).reshape(H * NU)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    c = contacts.astype(dtype)
+    lb_leg = jnp.stack(
+        [jnp.zeros_like(c), -inf * jnp.ones_like(c),
+         jnp.zeros_like(c), -inf * jnp.ones_like(c), fz_min * c], axis=-1)
+    ub_leg = jnp.stack(
+        [inf * jnp.ones_like(c), jnp.zeros_like(c),
+         inf * jnp.ones_like(c), jnp.zeros_like(c), fz_max * c], axis=-1)
+    return CondensedQP(hessian=hessian, gradient=gradient,
+                       lb=jnp.tile(lb_leg.reshape(-1), H),
+                       ub=jnp.tile(ub_leg.reshape(-1), H))
+
+
 # --- friction-pyramid constraint operators --------------------------------
 # Per (step, leg) block (ConvexMpc.cpp:46-58):
 #   rows = [fx + mu fz, fx - mu fz, fy + mu fz, fy - mu fz, fz]

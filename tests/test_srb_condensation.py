@@ -128,3 +128,22 @@ def test_condense_vmap_consistency():
             jnp.asarray(f["contacts"]))
         np.testing.assert_allclose(np.asarray(batched.gradient[i]),
                                    np.asarray(single.gradient), atol=1e-12)
+
+
+def test_condense_toeplitz_matches_general():
+    """Constant-B_d specialization == general condensation exactly."""
+    f = oracle.test_mpc_fixture()
+    b_d = jnp.asarray(f["b_d_list"][0])
+    b_d_list = jnp.broadcast_to(b_d, (10, 13, 12))
+    common = (jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+              jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+              jnp.asarray(f["contacts"]))
+    qp1 = srb.condense(jnp.asarray(f["a_d"]), b_d_list, *common)
+    qp2 = srb.condense_toeplitz(jnp.asarray(f["a_d"]), b_d, *common)
+    np.testing.assert_allclose(np.asarray(qp2.hessian),
+                               np.asarray(qp1.hessian), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qp2.gradient),
+                               np.asarray(qp1.gradient), atol=1e-12)
+    finite = np.isfinite(np.asarray(qp1.lb))
+    np.testing.assert_allclose(np.asarray(qp2.lb)[finite],
+                               np.asarray(qp1.lb)[finite])
