@@ -1,0 +1,86 @@
+"""Joystick command processing tests (GazeboA1ROS.cpp:117-190 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.config import params as P
+from go1_qp_mpc_controller_tpu.ctrl import command
+from go1_qp_mpc_controller_tpu.models import types
+
+DTYPE = jnp.float64
+
+
+def _axes(**kw):
+    base = dict(velx=0.0, vely=0.0, velz=0.0, yaw_rate=0.0, pitch_rate=0.0,
+                roll_rate=0.0, toggle=False, exit=False)
+    base.update(kw)
+    return command.JoyAxes(**{k: jnp.asarray(v) for k, v in base.items()})
+
+
+def _setup():
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    ctrl = types.init_ctrl_state(model, DTYPE)
+    joy = command.init_joy_state(0.3, DTYPE)
+    return joy, ctrl, params
+
+
+def test_axes_clamped_to_limits():
+    axes = command.clamp_axes(_axes(velx=5.0, vely=-5.0, yaw_rate=10.0))
+    assert float(axes.velx) == P.JOY_CMD_VELX_MAX
+    assert float(axes.vely) == -P.JOY_CMD_VELY_MAX
+    assert float(axes.yaw_rate) == P.JOY_CMD_YAW_MAX
+
+
+def test_height_integration_and_clamp():
+    joy, ctrl, params = _setup()
+    dt = jnp.asarray(0.01, DTYPE)
+    for _ in range(1000):
+        joy, ctrl, params = command.apply_commands(
+            joy, _axes(velz=P.JOY_CMD_BODY_HEIGHT_VEL), ctrl, params, dt)
+    np.testing.assert_allclose(float(joy.body_height),
+                               P.JOY_CMD_BODY_HEIGHT_MAX)
+    np.testing.assert_allclose(float(ctrl.root_pos_d[2]),
+                               P.JOY_CMD_BODY_HEIGHT_MAX)
+
+
+def test_mode_toggle_and_leave_walk_position_lock():
+    joy, ctrl, params = _setup()
+    dt = jnp.asarray(0.002, DTYPE)
+    # enter walking
+    joy = joy._replace(toggle_request=jnp.asarray(True))
+    joy, ctrl, params = command.apply_commands(joy, _axes(), ctrl, params,
+                                               dt)
+    assert int(ctrl.movement_mode) == 1
+    # robot has moved; leave walking -> xy target locks at current position
+    ctrl = ctrl._replace(root_pos=jnp.asarray([1.5, -0.4, 0.29], DTYPE))
+    joy = joy._replace(toggle_request=jnp.asarray(True))
+    joy, ctrl, params = command.apply_commands(joy, _axes(), ctrl, params,
+                                               dt)
+    assert int(ctrl.movement_mode) == 0
+    np.testing.assert_allclose(np.asarray(ctrl.root_pos_d[0:2]),
+                               [1.5, -0.4])
+
+
+def test_walking_velocity_zeroes_xy_gains():
+    joy, ctrl, params = _setup()
+    dt = jnp.asarray(0.002, DTYPE)
+    joy = joy._replace(ctrl_state=jnp.asarray(1, jnp.int32))
+    # translating: xy gains zeroed, xy target follows current position
+    joy2, ctrl2, params2 = command.apply_commands(
+        joy, _axes(velx=0.3), ctrl, params, dt)
+    np.testing.assert_allclose(np.asarray(params2.kp_linear[0:2]), 0.0)
+    # standing still in walk mode: lock gains restored
+    joy3, ctrl3, params3 = command.apply_commands(
+        joy, _axes(velx=0.0), ctrl, params, dt)
+    np.testing.assert_allclose(np.asarray(params3.kp_linear[0:2]),
+                               np.asarray(params.kp_linear[0:2]))
+
+
+def test_euler_integration():
+    joy, ctrl, params = _setup()
+    dt = jnp.asarray(0.01, DTYPE)
+    for _ in range(100):
+        joy, ctrl, params = command.apply_commands(
+            joy, _axes(yaw_rate=0.5), ctrl, params, dt)
+    np.testing.assert_allclose(float(ctrl.root_euler_d[2]), 0.5, atol=1e-9)
