@@ -1,4 +1,5 @@
 from go1_qp_mpc_controller_tpu.ctrl import (  # noqa: F401
+    command,
     controller,
     gait,
     swing,
