@@ -1,0 +1,118 @@
+"""Fault-injection robustness: the reference's safety scaffolding
+(SURVEY.md section 5 — NaN guards, warmup, solver-failure containment)
+must hold under corrupted inputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.ctrl import controller
+from go1_qp_mpc_controller_tpu.envs import rollout, srb_sim
+from go1_qp_mpc_controller_tpu.models import types
+from go1_qp_mpc_controller_tpu.ops import admm
+
+DTYPE = jnp.float64
+SETTINGS = admm.ADMMSettings(seg_iters=25, segments=3)
+
+
+def test_nan_grf_keeps_previous_torques():
+    """A diverged/NaN solver output never reaches the motors
+    (A1RobotControl.cpp:314-317, 558-561 semantics)."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    state = types.init_ctrl_state(model, DTYPE)
+    good_tau = jnp.full((12,), 3.0, DTYPE)
+    state = state._replace(
+        mpc_init_counter=jnp.asarray(100, jnp.int32),
+        contacts=jnp.ones(4, bool),
+        joint_torques=good_tau,
+        foot_forces_grf=jnp.full((4, 3), jnp.nan, DTYPE))
+    from go1_qp_mpc_controller_tpu.ctrl import torque
+    out = torque.compute_joint_torques(state, params)
+    np.testing.assert_allclose(np.asarray(out.joint_torques), 3.0)
+
+
+def test_nan_sensor_spike_recovers():
+    """One tick of NaN foot forces must not destabilize standing: the
+    contact estimate clamps and the torque NaN-latch holds."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    carry = rollout.init_carry(model, params, height=0.3, dtype=DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+
+    run = jax.jit(lambda c, n: rollout.rollout(
+        c, model, params, n, dt, solver_type=controller.MPC,
+        settings=SETTINGS, estimate=False, use_terrain_adapt=False),
+        static_argnums=(1,))
+    carry, _ = run(carry, 100)
+    # inject a corrupted force reading for one tick through the sensor path
+    bad = carry._replace(
+        stance_forces_z=jnp.full((4,), jnp.nan, DTYPE))
+    sensors = srb_sim.read_sensors(bad.sim, model, bad.ctrl.contacts,
+                                   bad.stance_forces_z, dt)
+    assert np.isnan(np.asarray(sensors.foot_force)).any()
+    ctrl2 = controller.sensor_update(bad.ctrl, model, sensors, dt,
+                                     estimate=False)
+    ctrl2 = ctrl2._replace(root_pos=bad.sim.root_pos,
+                           root_lin_vel=bad.sim.root_lin_vel)
+    ctrl2 = controller.control_step(ctrl2, model, params, dt,
+                                    solver_type=controller.MPC,
+                                    settings=SETTINGS,
+                                    use_terrain_adapt=False)
+    # torques remain finite (latched or recomputed)
+    assert np.isfinite(np.asarray(ctrl2.joint_torques)).all()
+    # resume with clean sensors: still standing after another second
+    carry = rollout.RolloutCarry(ctrl=ctrl2, sim=bad.sim,
+                                 stance_forces_z=jnp.full(
+                                     (4,), 36.75, DTYPE))
+    carry, trace = run(carry, 400)
+    z = np.asarray(trace.root_pos[:, 2])
+    assert np.isfinite(z).all()
+    assert abs(z[-1] - 0.3) < 0.05
+
+
+def test_solver_divergence_latch_in_batch():
+    """A poisoned QP in a batch yields a zeroed, flagged solution without
+    contaminating its neighbors."""
+    from go1_qp_mpc_controller_tpu.compat import oracle
+    from go1_qp_mpc_controller_tpu.models import srb
+    f = oracle.test_mpc_fixture()
+
+    def make_qp(scale):
+        qp = srb.condense(
+            jnp.asarray(f["a_d"], jnp.float32),
+            jnp.asarray(f["b_d_list"], jnp.float32),
+            jnp.asarray(f["x0"], jnp.float32),
+            jnp.asarray(f["x_ref"], jnp.float32).reshape(10, 13),
+            jnp.asarray(f["q_weights"], jnp.float32),
+            jnp.asarray(f["r_weights"], jnp.float32),
+            jnp.asarray(f["contacts"], jnp.float32))
+        return qp._replace(gradient=qp.gradient * scale)
+
+    scales = jnp.asarray([1.0, jnp.nan, 1.0], jnp.float32)
+    qps = jax.vmap(make_qp)(scales)
+    sols = jax.vmap(lambda qp: admm.mpc_solve(qp, SETTINGS))(qps)
+    pr = np.asarray(sols.primal_res)
+    # poisoned scenario flagged, not NaN
+    assert pr[1] >= 1e6
+    assert np.isfinite(np.asarray(sols.x)).all()
+    # neighbors unaffected
+    assert pr[0] < 1e-3 and pr[2] < 1e-3
+    np.testing.assert_allclose(np.asarray(sols.x[0]),
+                               np.asarray(sols.x[2]), atol=1e-6)
+
+
+def test_ten_tick_zero_torque_warmup():
+    """First 10 controller ticks command zero torque
+    (A1RobotControl.cpp:292-295)."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    carry = rollout.init_carry(model, params, height=0.3, dtype=DTYPE)
+    run = jax.jit(lambda c: rollout.rollout(
+        c, model, params, 12, jnp.asarray(0.002, DTYPE),
+        solver_type=controller.MPC, settings=SETTINGS, estimate=False,
+        use_terrain_adapt=False))
+    _, trace = run(carry)
+    tau = np.asarray(trace.joint_torques)
+    np.testing.assert_allclose(tau[:8], 0.0)
+    assert np.abs(tau[-1]).max() > 0.1
