@@ -32,7 +32,7 @@ NV = P.MPC_NV          # 120
 NVP = 128              # padded variable dim
 NLEGS = 4 * P.PLAN_HORIZON  # 40 (step, leg) pairs
 NLP = 64               # padded plane width
-TILE = 8               # scenarios per program
+TILE = 8               # default scenarios per program (see admm_iterations)
 
 
 def _selection_matrices(dtype=np.float32):
@@ -48,14 +48,14 @@ def _selection_matrices(dtype=np.float32):
 
 def _kernel(mu_ref, minv_ref, q_ref, lb_ref, ub_ref, rho_ref,
             x_ref, y_ref, sx_ref, sy_ref, sz_ref,
-            x_out, y_out, *, iters, alpha, sigma):
+            x_out, y_out, *, iters, alpha, sigma, tile):
     """One tile: TILE scenarios, full ADMM loop in VMEM.
 
     Plane tensors are (TILE, 5, NLP): rows (fx+mu fz, fx-mu fz, fy+mu fz,
     fy-mu fz, fz) per (step, leg). mu is (TILE, 1) in SMEM-style layout.
     """
-    minv = minv_ref[:]                       # (TILE, NVP, NVP)
-    minv_stack = minv.reshape(TILE * NVP, NVP)
+    minv = minv_ref[:]                       # (tile, NVP, NVP)
+    minv_stack = minv.reshape(tile * NVP, NVP)
     q = q_ref[:]                             # (TILE, NVP)
     lb = lb_ref[:]                           # (TILE, 5, NLP)
     ub = ub_ref[:]
@@ -84,8 +84,8 @@ def _kernel(mu_ref, minv_ref, q_ref, lb_ref, ub_ref, rho_ref,
                 + jnp.dot(fy, sy.T, precision=hi)
                 + jnp.dot(fz, sz.T, precision=hi))
 
-    sel_diag = (jax.lax.broadcasted_iota(jnp.int32, (TILE, NVP, TILE), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (TILE, NVP, TILE),
+    sel_diag = (jax.lax.broadcasted_iota(jnp.int32, (tile, NVP, tile), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (tile, NVP, tile),
                                             2))
 
     def minv_apply(rhs):
@@ -95,8 +95,8 @@ def _kernel(mu_ref, minv_ref, q_ref, lb_ref, ub_ref, rho_ref,
         MXU pipelined; the off-diagonal waste is free compared to
         per-scenario matvecs, and the masked reduce is cheap VPU work.
         """
-        y_all = jnp.dot(minv_stack, rhs.T, precision=hi)  # (TILE*NVP, TILE)
-        y3 = y_all.reshape(TILE, NVP, TILE)
+        y_all = jnp.dot(minv_stack, rhs.T, precision=hi)  # (tile*NVP, tile)
+        y3 = y_all.reshape(tile, NVP, tile)
         return jnp.sum(jnp.where(sel_diag, y3, 0.0), axis=2)
 
     x0 = x_ref[:]
@@ -138,7 +138,8 @@ def _from_planes(w):
     return rows.reshape(w.shape[0], NLEGS * 5)
 
 
-def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False):
+def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
+                         tile=TILE):
     """Batched warm MPC tick with the VMEM-resident iteration kernel.
 
     The XLA path (admm.mpc_solve_warm under vmap) re-reads each scenario's
@@ -186,7 +187,8 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False):
     x, y_scaled = admm_iterations(
         minv, qbar, lb_f, ub_f, rho_vec, mus, warms.x,
         warms.y * cost[:, None], iters=settings.seg_iters,
-        alpha=settings.alpha, sigma=settings.sigma, interpret=interpret)
+        alpha=settings.alpha, sigma=settings.sigma, interpret=interpret,
+        tile=tile)
 
     y = y_scaled / cost[:, None]
     finite = (jnp.all(jnp.isfinite(x), axis=-1)
@@ -213,9 +215,10 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "alpha", "sigma",
-                                             "interpret"))
+                                             "interpret", "tile"))
 def admm_iterations(minv, qbar, lb, ub, rho_vec, mu, x0, y0,
-                    iters=40, alpha=1.6, sigma=1e-6, interpret=False):
+                    iters=40, alpha=1.6, sigma=1e-6, interpret=False,
+                    tile=TILE):
     """Run the VMEM-resident ADMM loop for a batch.
 
     Args:
@@ -230,7 +233,7 @@ def admm_iterations(minv, qbar, lb, ub, rho_vec, mu, x0, y0,
       (x, y): (B, 120) primal and scaled dual.
     """
     b = minv.shape[0]
-    assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
+    assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
     dtype = minv.dtype
     minv_p = jnp.pad(minv, ((0, 0), (0, NVP - NV), (0, NVP - NV)))
     q_p = jnp.pad(qbar, ((0, 0), (0, NVP - NV)))
@@ -245,11 +248,11 @@ def admm_iterations(minv, qbar, lb, ub, rho_vec, mu, x0, y0,
 
     sx, sy, sz = [jnp.asarray(m, dtype) for m in _selection_matrices()]
 
-    grid = (b // TILE,)
+    grid = (b // tile,)
     kernel = functools.partial(_kernel, iters=iters, alpha=alpha,
-                               sigma=sigma)
+                               sigma=sigma, tile=tile)
     bs = lambda shape: pl.BlockSpec(
-        (TILE,) + shape, lambda i: (i,) + (0,) * len(shape),
+        (tile,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
