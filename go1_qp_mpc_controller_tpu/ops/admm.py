@@ -384,6 +384,13 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
 
     Returns:
       (ADMMSolution, next WarmState).
+
+    Caveat: a contact flip changes the equality pattern and hence the KKT
+    matrix by the rho_eq boost; the Schulz safeguard then falls back to a
+    cold start that ``schulz_refine`` steps cannot fully converge, so the
+    tick AFTER a gait transition solves with a degraded inverse (self-heals
+    over the next ticks). At trot cadence that is <1% of ticks; run a full
+    :func:`solve` on transition ticks if that tick's accuracy matters.
     """
     n = gradient.shape[-1]
     dtype = gradient.dtype
