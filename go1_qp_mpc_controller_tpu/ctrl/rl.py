@@ -177,3 +177,28 @@ def rl_control_step(rl_state, params, root_rot_mat, root_rot_mat_z,
         servo_start_pose=rl_state.servo_start_pose,
         movement_mode=rl_state.movement_mode)
     return new_state, cmd, obs
+
+
+class JointHistory(NamedTuple):
+    """Rolling joint pos-error / velocity history stacks.
+
+    The reference maintains num_history_stack frames via shift-and-append
+    (Go1Observation.hpp:172-181, updateHistory). Functional ring here;
+    read oldest-first like the reference's head/tail layout.
+    """
+    pos_err: jnp.ndarray   # (stack, 12)
+    vel: jnp.ndarray       # (stack, 12)
+
+
+def init_joint_history(num_stack=3, dtype=jnp.float32):
+    return JointHistory(pos_err=jnp.zeros((num_stack, 12), dtype),
+                        vel=jnp.zeros((num_stack, 12), dtype))
+
+
+def update_joint_history(hist, joint_pos, joint_vel):
+    """Shift-append one frame (Go1Observation.hpp:172-181)."""
+    dtype = hist.pos_err.dtype
+    err = joint_pos - jnp.asarray(DEFAULT_JOINT_POS, dtype)
+    return JointHistory(
+        pos_err=jnp.concatenate([hist.pos_err[1:], err[None]], axis=0),
+        vel=jnp.concatenate([hist.vel[1:], joint_vel[None]], axis=0))

@@ -117,3 +117,35 @@ def sine_joint_signal(num_steps, dt, amplitude=0.3, freq_hz=0.5,
     phase = np.arange(12)[None, :] * (np.pi / 6)
     return base[None, :] + amplitude * np.sin(
         2 * np.pi * freq_hz * t + phase)
+
+
+def motion_scheme(vel_magnitudes=(0.2,), directions=8, leg_seconds=3.0,
+                  dt=0.002, body_heights=(0.0,), foot_heights=(0.2,)):
+    """Scripted velocity "motion schemes" for data-collection sweeps.
+
+    Mirrors HighLevel::initMotionScheme (data_collection/src/
+    HighLevel.cpp:113-140): a grid of (body height, foot raise height,
+    velocity magnitude) with 8 heading directions, every odd leg being the
+    return trip (heading + pi).
+
+    Returns:
+      list of dicts with keys body_height, foot_height, and cmd — a
+      (T, 3) array of (vx, vy, yaw_rate) commands for each leg.
+    """
+    steps = int(round(leg_seconds / dt))
+    schemes = []
+    for bh in body_heights:
+        for fh in foot_heights:
+            for mag in vel_magnitudes:
+                heading = 0.0
+                for k in range(directions):
+                    if k % 2 != 0:
+                        heading += np.pi     # return trip
+                    else:
+                        heading = k / directions * 2 * np.pi
+                    cmd = np.zeros((steps, 3))
+                    cmd[:, 0] = mag * np.cos(heading)
+                    cmd[:, 1] = mag * np.sin(heading)
+                    schemes.append({"body_height": bh, "foot_height": fh,
+                                    "cmd": cmd})
+    return schemes

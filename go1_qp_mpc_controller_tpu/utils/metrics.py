@@ -92,3 +92,28 @@ def controller_telemetry(state):
         "joint_torques": np.asarray(state.joint_torques).tolist(),
         "foot_forces_grf": np.asarray(state.foot_forces_grf).tolist(),
     }
+
+
+def swing_path_points(foot_pos_start, foot_pos_target, num_points=10):
+    """Sampled swing-foot Bezier paths for visualization.
+
+    The RViz foot-path marker analog (A1RobotControl.cpp:120-143 publishes
+    a fixed 10-point LINE_STRIP per leg).
+
+    Args:
+      foot_pos_start: (4, 3) liftoff points (yaw frame).
+      foot_pos_target: (4, 3) planned footholds.
+      num_points: samples along each curve.
+
+    Returns:
+      (4, num_points, 3) numpy array of path points.
+    """
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.utils import bezier
+
+    ts = np.linspace(0.0, 1.0, num_points)
+    pts = [np.asarray(bezier.swing_foot_pos(
+        float(t), jnp.asarray(foot_pos_start), jnp.asarray(foot_pos_target)))
+        for t in ts]
+    return np.stack(pts, axis=1)
