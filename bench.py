@@ -126,6 +126,18 @@ def main():
     jax.block_until_ready(out1)
     latency_ms = (time.perf_counter() - t0) / 20 * 1000.0
 
+    # --- warm single-tick latency (the actual control-cycle path) --------
+    scn8 = jax.tree.map(lambda a: a[:8], scn)
+    warms8 = jax.tree.map(lambda a: a[:8], warms)
+    drifts8 = drifts[:8]
+    fz8, w8 = ticks(scn8, warms8, drifts8, 1)
+    jax.block_until_ready(fz8)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        fz8, _ = ticks(scn8, warms8, drifts8, 1)
+    jax.block_until_ready(fz8)
+    warm_latency_ms = (time.perf_counter() - t0) / 20 * 1000.0
+
     result = {
         "metric": "mpc_solves_per_s",
         "value": round(warm_rate, 1),
@@ -137,6 +149,7 @@ def main():
         "ticks_per_round": num_ticks,
         "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
         "single_solve_latency_ms": round(latency_ms, 3),
+        "warm_tick_latency_ms": round(warm_latency_ms, 3),
         "latency_budget_ms": 2.5,
         "device": str(jax.devices()[0]),
     }

@@ -213,3 +213,39 @@ def random_scenarios(key, batch, dtype=jnp.float32):
         r_weights=jnp.asarray(r_weights, dtype),
         mu=jnp.asarray(mu, dtype),
     )
+
+
+def run_chunked(fn, scenarios, chunk_size):
+    """Run a sweep function over a large scenario set in bounded-memory
+    chunks (configs[4]-scale sweeps on one chip: 100k+ scenarios exceed
+    HBM if materialized at once; per-chunk QPs are ~60 KB/scenario).
+
+    Args:
+      fn: the jitted sweep function (fixed chunk-size batch).
+      scenarios: MpcScenario with (N, ...) leaves, N % chunk_size == 0.
+      chunk_size: static per-call batch.
+
+    Returns:
+      SweepResult with (N, ...) leaves; stats aggregated across chunks.
+    """
+    import numpy as np
+
+    n = scenarios.x0.shape[0]
+    assert n % chunk_size == 0, (n, chunk_size)
+    outs = []
+    for i in range(n // chunk_size):
+        sl = slice(i * chunk_size, (i + 1) * chunk_size)
+        chunk = jax.tree.map(lambda a: a[sl], scenarios)
+        outs.append(fn(chunk))
+    grf = jnp.concatenate([o.grf for o in outs])
+    forces = jnp.concatenate([o.forces_all for o in outs])
+    prim = jnp.concatenate([o.primal_res for o in outs])
+    dual = jnp.concatenate([o.dual_res for o in outs])
+    stats = {
+        "num_solves": sum(float(o.stats["num_solves"]) for o in outs),
+        "max_primal_res": max(float(o.stats["max_primal_res"])
+                              for o in outs),
+        "max_dual_res": max(float(o.stats["max_dual_res"]) for o in outs),
+    }
+    return SweepResult(grf=grf, forces_all=forces, primal_res=prim,
+                       dual_res=dual, stats=stats)

@@ -77,3 +77,17 @@ def test_sweep_solutions_are_physical():
     total_fz = fz.sum(-1)
     weight = np.asarray(scn.mass) * 9.8
     assert np.all(total_fz > 0.2 * weight)
+
+
+def test_chunked_sweep_matches_single_shot():
+    """Chunked execution (the 100k+-scenario path) == one-shot results."""
+    scn = _scenarios(32)
+    m8 = mesh_lib.make_mesh()
+    fn = sweep.make_sweep_fn(m8, 0.0025,
+                             admm.ADMMSettings(seg_iters=10, segments=1,
+                                               polish=False))
+    one = fn(scn)
+    chunked = sweep.run_chunked(fn, scn, 16)
+    np.testing.assert_allclose(np.asarray(chunked.grf),
+                               np.asarray(one.grf), atol=1e-7)
+    assert chunked.stats["num_solves"] == 32.0
