@@ -80,7 +80,10 @@ def main():
     from go1_qp_mpc_controller_tpu.parallel import sweep
 
     dtype = jnp.float32
-    settings_cold = admm.ADMMSettings(seg_iters=25, segments=3,
+    # segments=2 keeps the unrolled cold program small: the axon remote
+    # compiler does not hit jax's persistent cache, so bench compile time
+    # is part of the wall-clock budget
+    settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
                                       polish=False)
     # accuracy at this config: warm GRFs track cold solves to <1e-3 N over
     # drifting tick sequences (seg_iters drives the tracking lag; refine=3
@@ -99,7 +102,7 @@ def main():
     out, warms = cold(scn)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 2
     for _ in range(reps):
         out, warms = cold(scn)
     jax.block_until_ready(out)
@@ -116,17 +119,8 @@ def main():
     warm_elapsed = (time.perf_counter() - t0) / reps
     warm_rate = batch * num_ticks / warm_elapsed
 
-    # --- single-solve latency --------------------------------------------
-    scn1 = jax.tree.map(lambda a: a[:1], scn)
-    out1, _ = cold(scn1)
-    jax.block_until_ready(out1)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out1, _ = cold(scn1)
-    jax.block_until_ready(out1)
-    latency_ms = (time.perf_counter() - t0) / 20 * 1000.0
-
-    # --- warm single-tick latency (the actual control-cycle path) --------
+    # --- warm single-tick latency (the actual control-cycle path; the
+    # reference's 2.5 ms budget applies to warm-started cycles) ----------
     scn8 = jax.tree.map(lambda a: a[:8], scn)
     warms8 = jax.tree.map(lambda a: a[:8], warms)
     drifts8 = drifts[:8]
@@ -148,7 +142,6 @@ def main():
         "batch": batch,
         "ticks_per_round": num_ticks,
         "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
-        "single_solve_latency_ms": round(latency_ms, 3),
         "warm_tick_latency_ms": round(warm_latency_ms, 3),
         "latency_budget_ms": 2.5,
         "device": str(jax.devices()[0]),

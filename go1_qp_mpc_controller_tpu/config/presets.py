@@ -14,7 +14,6 @@ scenario batches can randomize them.
 
 import dataclasses
 import os
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

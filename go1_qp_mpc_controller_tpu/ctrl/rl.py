@@ -17,7 +17,6 @@ All pure functions over an RLControllerState pytree, batched with vmap.
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from go1_qp_mpc_controller_tpu.models import policy as policy_lib
 

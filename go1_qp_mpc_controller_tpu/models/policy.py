@@ -12,7 +12,7 @@ torch is available in this environment) into the JAX pytree, replacing the
 TorchEigen load path.
 """
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

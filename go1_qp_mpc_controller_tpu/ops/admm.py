@@ -23,7 +23,7 @@ The friction-pyramid constraint matrix is never materialized: `matvec` /
 """
 
 import functools
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
