@@ -31,9 +31,9 @@ def _make_tick_fns(settings_cold, settings_warm):
         b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
                                 scn.foot_pos)
         a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
-        b_d_list = jnp.broadcast_to(b_d, (10,) + b_d.shape)
-        return srb.condense(a_d, b_d_list, x0, scn.x_ref, scn.q_weights,
-                            scn.r_weights, scn.contacts)
+        return srb.condense_nilpotent_const(a_d, b_d, x0, scn.x_ref,
+                                            scn.q_weights, scn.r_weights,
+                                            scn.contacts)
 
     def cold_one(scn):
         sol, warm = admm.mpc_solve(condense_one(scn, scn.x0),

@@ -115,11 +115,10 @@ def compute_grf_mpc(state, model, params,
                             state.root_rot_mat, state.foot_pos_abs)
     a_d, b_d = srb.discretize(a_c, b_c, params.mpc_dt)
     # the reference holds foot positions constant over the horizon
-    # (A1RobotControl.cpp:498-514) -> identical B_d per step
-    b_d_list = jnp.broadcast_to(b_d, (P.PLAN_HORIZON,) + b_d.shape)
-
-    qp = srb.condense(a_d, b_d_list, x0, x_ref, params.q_weights,
-                      params.r_weights, state.contacts)
+    # (A1RobotControl.cpp:498-514) -> identical B_d per step, which the
+    # closed-form nilpotent condensation exploits (no A-power recursion)
+    qp = srb.condense_nilpotent_const(a_d, b_d, x0, x_ref, params.q_weights,
+                                      params.r_weights, state.contacts)
     sol = admm.mpc_solve(qp, settings, warm_x=state.qp_warm_x,
                          warm_y=state.qp_warm_y)
 

@@ -51,12 +51,13 @@ def _solve_one(scn, mpc_dt, settings, mpc_axis_size):
     b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
                             scn.foot_pos)
     a_d, b_d = srb.discretize(a_c, b_c, mpc_dt)
-    b_d_list = jnp.broadcast_to(b_d, (CP.PLAN_HORIZON,) + b_d.shape)
 
     if mpc_axis_size == 1:
-        qp = srb.condense(a_d, b_d_list, scn.x0, scn.x_ref, scn.q_weights,
-                          scn.r_weights, scn.contacts)
+        qp = srb.condense_nilpotent_const(a_d, b_d, scn.x0, scn.x_ref,
+                                          scn.q_weights, scn.r_weights,
+                                          scn.contacts)
     else:
+        b_d_list = jnp.broadcast_to(b_d, (CP.PLAN_HORIZON,) + b_d.shape)
         qp = _condense_mpc_sharded(a_d, b_d_list, scn, mpc_axis_size)
 
     sol = admm.mpc_solve(qp, settings, mu=scn.mu)

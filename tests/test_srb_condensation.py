@@ -147,3 +147,54 @@ def test_condense_toeplitz_matches_general():
     finite = np.isfinite(np.asarray(qp1.lb))
     np.testing.assert_allclose(np.asarray(qp2.lb)[finite],
                                np.asarray(qp1.lb)[finite])
+
+
+def test_condense_nilpotent_matches_general():
+    """Closed-form nilpotent condensation == scan condensation exactly.
+
+    The closed form relies on N = A_d - I being nilpotent (N^3 = 0) with
+    N^2 B_d = 0 — true by construction for the SRB A_c/B_c structure
+    (ConvexMpc.cpp:110-143)."""
+    f = oracle.test_mpc_fixture()
+    a_d = jnp.asarray(f["a_d"])
+    # structural preconditions
+    n = np.asarray(a_d) - np.eye(13)
+    assert np.abs(np.linalg.matrix_power(n, 3)).max() == 0.0
+    assert np.abs(n @ n @ np.asarray(f["b_d_list"][0])).max() < 1e-18
+
+    # per-step varying B_d exercises the general path
+    b_d_list = jnp.asarray(f["b_d_list"]) * (
+        1.0 + 0.01 * jnp.arange(10)[:, None, None])
+    common = (jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+              jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+              jnp.asarray(f["contacts"]))
+    qp1 = srb.condense(a_d, b_d_list, *common)
+    qp2 = srb.condense_nilpotent(a_d, b_d_list, *common)
+    np.testing.assert_allclose(np.asarray(qp2.hessian),
+                               np.asarray(qp1.hessian), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qp2.gradient),
+                               np.asarray(qp1.gradient), atol=1e-12)
+    finite = np.isfinite(np.asarray(qp1.lb))
+    np.testing.assert_allclose(np.asarray(qp2.lb)[finite],
+                               np.asarray(qp1.lb)[finite])
+
+
+def test_condense_nilpotent_const_matches_general():
+    """Constant-B_d nilpotent closed form (the production path) == scan."""
+    f = oracle.test_mpc_fixture()
+    b_d = jnp.asarray(f["b_d_list"][0])
+    b_d_list = jnp.broadcast_to(b_d, (10, 13, 12))
+    common = (jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+              jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+              jnp.asarray(f["contacts"]))
+    qp1 = srb.condense(jnp.asarray(f["a_d"]), b_d_list, *common)
+    qp2 = srb.condense_nilpotent_const(jnp.asarray(f["a_d"]), b_d, *common)
+    np.testing.assert_allclose(np.asarray(qp2.hessian),
+                               np.asarray(qp1.hessian), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qp2.gradient),
+                               np.asarray(qp1.gradient), atol=1e-12)
+    finite = np.isfinite(np.asarray(qp1.lb))
+    np.testing.assert_allclose(np.asarray(qp2.lb)[finite],
+                               np.asarray(qp1.lb)[finite])
+    np.testing.assert_allclose(np.asarray(qp2.ub)[finite],
+                               np.asarray(qp1.ub)[finite])
