@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from go1_qp_mpc_controller_tpu.models import srb
 from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
@@ -141,6 +142,22 @@ def _schulz_inverse(m_mat, iters, x0=None):
                           precision=hi)
 
     return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def _schulz_refine_warm(m_mat, x0, iters):
+    """Warm-path Newton-Schulz refinement (full f32 precision).
+
+    Negative results from precision-reduction attempts (kept as a record):
+    (a) a 2-probe safeguard estimate diverges — random probes catch only
+    ~||E||_F/sqrt(n) of a spiky residual spectrum, accepting warm starts
+    outside the basin that Schulz squares to overflow; (b) bf16 middle
+    steps stall — the eq-rho-boosted KKT rows differ by ~1e3 in magnitude,
+    so single-pass-bf16 product error (relative to the *uncancelled*
+    product magnitudes) leaves an O(row-imbalance x 4e-3) residual floor
+    that the final f32 step cannot recover (measured: warm-vs-cold GRF
+    median 1 N -> 88 N). Equilibrated-bf16 refinement is the open follow-up.
+    """
+    return _schulz_inverse(m_mat, iters, x0)
 
 
 def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
@@ -368,7 +385,7 @@ def _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
 
 @f32_matmuls
 def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
-               settings, warm):
+               settings, warm, warm_mu=None):
     """One warm tick: refine the carried inverse, run one ADMM segment.
 
     The production cadence: consecutive control ticks solve nearly
@@ -381,6 +398,10 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     Args:
       warm: WarmState from the previous tick (build the first one with
         :func:`solve` + :func:`warm_state_from_solution`).
+      rmatvec_dense: as in :func:`solve`; pass None to use the fused
+        single-pass friction-pyramid KKT build (MPC problems only).
+      warm_mu: friction coefficient for the fused build (rmatvec_dense
+        is None); defaults to the package constant.
 
     Returns:
       (ADMMSolution, next WarmState).
@@ -407,8 +428,13 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
 
     rho = warm.rho
     rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
-    m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
-    minv = _schulz_inverse(m_mat, settings.schulz_refine, warm.minv)
+    if rmatvec_dense is None:   # MPC pyramid: fused single-pass KKT build
+        from go1_qp_mpc_controller_tpu.config import params as P
+        mu = P.MPC_MU if warm_mu is None else warm_mu
+        m_mat = _pyramid_kkt_fused(pbar, sigma, rho_vec, mu)
+    else:
+        m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
+    minv = _schulz_refine_warm(m_mat, warm.minv, settings.schulz_refine)
 
     x = warm.x
     y = warm.y * cost
@@ -485,6 +511,36 @@ def _pyramid_ctc_dense(w, mu, dtype):
     return out.astype(dtype)
 
 
+def _pyramid_kkt_fused(pbar, sigma, w, mu):
+    """M = pbar + sigma I + C' diag(w) C in ONE fused elementwise pass.
+
+    Same mathematics as ``pbar + sigma*eye + _pyramid_ctc_dense(w, mu)``,
+    but the band term is built from broadcasted-iota masks and the three
+    diagonal vectors instead of five jnp.diag materializations — a single
+    (n, n) output write instead of ~7 passes over HBM (measured 3.7 ms ->
+    ~0.6 ms at batch 4096).
+    """
+    n = pbar.shape[-1]
+    dtype = pbar.dtype
+    wb = w.reshape(-1, 5)
+    w0, w1, w2, w3, w4 = (wb[:, 0], wb[:, 1], wb[:, 2], wb[:, 3], wb[:, 4])
+    main = jnp.stack([w0 + w1, w2 + w3,
+                      mu * mu * (w0 + w1 + w2 + w3) + w4],
+                     axis=-1).reshape(-1)                       # (n,)
+    off1 = jnp.stack([jnp.zeros_like(w0), mu * (w2 - w3),
+                      jnp.zeros_like(w0)], axis=-1).reshape(-1)  # at min idx
+    off2 = jnp.stack([mu * (w0 - w1), jnp.zeros_like(w0),
+                      jnp.zeros_like(w0)], axis=-1).reshape(-1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    band = (jnp.where(ii == jj, main[:, None] + sigma, 0.0)
+            + jnp.where(jj == ii + 1, off1[:, None], 0.0)
+            + jnp.where(ii == jj + 1, off1[None, :], 0.0)
+            + jnp.where(jj == ii + 2, off2[:, None], 0.0)
+            + jnp.where(ii == jj + 2, off2[None, :], 0.0))
+    return pbar + band.astype(dtype)
+
+
 def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
               warm_rho=None, mu=None, return_warm=False):
     """Solve one condensed MPC QP (srb.CondensedQP) end to end."""
@@ -503,9 +559,7 @@ def mpc_solve_warm(qp, warm, settings=ADMMSettings(), mu=None):
     """Warm-tick MPC solve (see :func:`solve_warm`)."""
     from go1_qp_mpc_controller_tpu.config import params as P
     mu = P.MPC_MU if mu is None else mu
-    dense = functools.partial(_pyramid_ctc_dense, mu=mu,
-                              dtype=qp.hessian.dtype)
     matvec = functools.partial(srb.constraint_matvec, mu=mu)
     rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
     return solve_warm(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec,
-                      rmatvec, dense, settings, warm)
+                      rmatvec, None, settings, warm, warm_mu=mu)

@@ -172,13 +172,12 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
                         warms.rho[:, None])
     eye_n = jnp.eye(n, dtype=dtype)
 
-    def build_m(pb, rv, mu_s):
-        return (pb + settings.sigma * eye_n
-                + admm._pyramid_ctc_dense(rv, mu_s, dtype))
-
-    m_mat = jax.vmap(build_m)(pbar, rho_vec, mus)
+    m_mat = jax.vmap(
+        lambda pb, rv, mu_s: admm._pyramid_kkt_fused(
+            pb, settings.sigma, rv, mu_s))(pbar, rho_vec, mus)
     minv = jax.vmap(
-        lambda m, x0: admm._schulz_inverse(m, settings.schulz_refine, x0)
+        lambda m, x0: admm._schulz_refine_warm(m, x0,
+                                               settings.schulz_refine)
     )(m_mat, warms.minv)
 
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
