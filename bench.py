@@ -85,11 +85,14 @@ def main():
     # is part of the wall-clock budget
     settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
                                       polish=False)
-    # accuracy at this config: warm GRFs track cold solves to <1e-3 N over
-    # drifting tick sequences (seg_iters drives the tracking lag; refine=3
-    # follows the per-tick KKT change with margin)
-    settings_warm = admm.ADMMSettings(seg_iters=50, segments=1,
-                                      polish=False, schulz_refine=3)
+    # accuracy at this config (measured vs a tight polished reference over
+    # 8 drifting ticks x 256 random scenarios on TPU): first-step GRF
+    # median diff 0.064 N, p90 5.0 N on ~180 N forces; extra iterations
+    # only polish the near-degenerate flat directions (50/refine-3 gives
+    # median 0.024 N at ~1.5x the tick cost). One Schulz step tracks the
+    # per-tick KKT drift; more steps measured no accuracy change.
+    settings_warm = admm.ADMMSettings(seg_iters=25, segments=1,
+                                      polish=False, schulz_refine=1)
     batch = 4096
     num_ticks = 10
     scn = sweep.random_scenarios(jax.random.PRNGKey(0), batch, dtype)
