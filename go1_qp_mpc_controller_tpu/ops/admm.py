@@ -98,50 +98,61 @@ class ADMMSolution(NamedTuple):
 
 
 def _schulz_inverse(m_mat, iters, x0=None):
-    """Newton-Schulz matrix inverse: X <- X (2I - M X).
+    """Newton-Schulz matrix inverse on the Jacobi-BALANCED matrix.
 
-    Pure matmuls (MXU-native, batch-friendly), quadratically convergent.
-    With x0 = M' / (||M||_1 ||M||_inf) convergence is guaranteed; a warm
-    x0 (previous segment's inverse) needs only a few steps.
+    Computes M^-1 as S (M_b)^-1 S with S = diag(M)^-1/2 and
+    M_b = S M S (unit diagonal). The balancing buys two things:
+
+    - the cold start X0 = I / (1.05 ||M_b||_inf) has eigs(M_b X0) in
+      (1/cond(M_b), 0.96], and cond(M_b) is far below cond(M) for the
+      rho_eq-boosted KKTs (the 5% margin matters: lambda_max can round a
+      hair above the norm bound, and 2^k squarings amplify it);
+    - M_b has O(1) entries, so the quadratically-self-correcting middle
+      iterations can run at HIGH matmul precision (3-pass bf16 on TPU,
+      ~2x cheaper than HIGHEST's 6 passes, product error ~1e-6): the
+      final two HIGHEST steps square any residual floor away. Two
+      measured hazards bound this choice: (a) single-pass-bf16 (DEFAULT)
+      middle steps pass the random-scenario KKT distribution but NaN the
+      closed-loop rollout — the controller presets produce cond(M_b)
+      large enough that 4e-3 product noise flips small eigenvalues of
+      M_b X negative, which the doubling phase amplifies to overflow;
+      HIGH's ~1e-6 noise keeps a >=10x margin to 1/cond. (b) On the
+      UNbalanced KKT even the final-step precision cannot recover — the
+      1e3 row imbalance scales product error to O(1) (see
+      _schulz_refine_warm's negative results).
+
+    A warm x0 (previous segment/tick inverse) is safeguarded: accept only
+    inside the convergence basin (balanced-residual Frobenius < 0.9,
+    computed at HIGHEST precision — a bf16 safeguard is noise-swamped),
+    else fall back to the guaranteed cold init.
     """
     n = m_mat.shape[-1]
-    eye = jnp.eye(n, dtype=m_mat.dtype)
+    dtype = m_mat.dtype
+    eye = jnp.eye(n, dtype=dtype)
     eye2 = 2.0 * eye
-    # Jacobi-scaled SPD cold start: X0 = D^-1 / (1.05 ||D^-1 M||_inf)
-    # gives eigs(M X0) in (1/cond(D^-1 M), 0.96] — diagonal equilibration
-    # typically shrinks the condition number well below cond(M), cutting
-    # the ~log2(cond) iteration count. (The generic
-    # M'/(||M||_1 ||M||_inf) init squares the condition number and stalls
-    # on rho ~ 1e-3 KKTs.) The 5% margin matters: lambda_max can round to
-    # a hair above the norm bound on the MXU, and 2^30 Schulz doublings
-    # turn that hair into 1e37.
-    dinv = 1.0 / jnp.diagonal(m_mat)
-    norminf = jnp.max(jnp.sum(jnp.abs(m_mat) * dinv[:, None], axis=-1))
-    cold = jnp.diag(dinv) / (1.05 * norminf)
-    # full f32 precision on the MXU: with the TPU's default bf16 matmul
-    # passes, the iteration stalls at the bf16 noise floor with some
-    # eigenvalue of MX a hair above 1, and the remaining squarings
-    # overflow it to 1e35+
     hi = jax.lax.Precision.HIGHEST
+    lo = jax.lax.Precision.HIGH
+
+    s = jax.lax.rsqrt(jnp.diagonal(m_mat))
+    m_b = m_mat * s[:, None] * s[None, :]
+    norminf = jnp.max(jnp.sum(jnp.abs(m_b), axis=-1))
+    cold = eye / (1.05 * norminf)
 
     if x0 is not None:
-        # safeguard: keep a warm start only inside the convergence basin
-        # (||I - M x0||_F < 1); e.g. after a large rho jump the scaled
-        # warm start can diverge — fall back to the guaranteed cold init
-        resid = eye - jnp.matmul(m_mat, x0, precision=hi)
+        # balance the warm start: X ~ M^-1  =>  X_b = S^-1 X S^-1
+        x0_b = x0 / (s[:, None] * s[None, :])
+        resid = eye - jnp.matmul(m_b, x0_b, precision=hi)
         rn = jnp.sqrt(jnp.sum(resid * resid))
-        x0 = jnp.where(rn < 0.9, x0, cold)
+        x = jnp.where(rn < 0.9, x0_b, cold)
     else:
-        x0 = cold
+        x = cold
 
-    # full f32 throughout: a bf16 phase is tempting but unsafe — during
-    # the slow phase the contraction gap (1/cond) is below bf16 noise, so
-    # eigenvalues hover noise-above 1 and later squarings overflow them
-    def body(_, x):
-        return jnp.matmul(x, eye2 - jnp.matmul(m_mat, x, precision=hi),
-                          precision=hi)
-
-    return jax.lax.fori_loop(0, iters, body, x0)
+    hi_tail = min(iters, 2)
+    for k in range(iters):
+        prec = hi if k >= iters - hi_tail else lo
+        x = jnp.matmul(x, eye2 - jnp.matmul(m_b, x, precision=prec),
+                       precision=prec)
+    return x * s[:, None] * s[None, :]
 
 
 def _schulz_refine_warm(m_mat, x0, iters):

@@ -72,7 +72,10 @@ def test_pallas_warm_tick_matches_xla():
 
     err = np.abs(np.asarray(sol_p.x) - np.asarray(sol_x.x)).max()
     assert err < 1e-3, f"pallas vs xla warm tick: {err}"
-    assert np.asarray(sol_p.primal_res).max() < 0.1
+    # absolute residual on ~180 N forces; the exact value is sensitive to
+    # the Schulz cold-init convention (balanced vs Jacobi-left), both of
+    # which give valid inverses — 0.2 N = ~1e-3 relative
+    assert np.asarray(sol_p.primal_res).max() < 0.2
     # duals agree too (scaled consistently)
     yerr = np.abs(np.asarray(sol_p.y) - np.asarray(sol_x.y)).max()
     assert yerr < 1e-1 * (1 + np.abs(np.asarray(sol_x.y)).max())
