@@ -101,14 +101,23 @@ def main():
 
     cold, ticks = _make_tick_fns(settings_cold, settings_warm)
 
+    # NOTE: every timed rep gets DISTINCT inputs, pre-created ON DEVICE.
+    # Two tunnel artifacts would otherwise corrupt the numbers: (a) the
+    # axon remote executor caches repeated identical TPU executions
+    # (measured: 0.06 ms reported for a 20 ms program), and (b) fresh
+    # host-created inputs pay an HTTP upload per call (~tens of ms). An
+    # on-device jitted perturbation sidesteps both.
+    perturb = jax.jit(lambda scn, k: scn._replace(x0=scn.x0 + 1e-4 * k))
+    reps = 2
+
     # --- cold solves ------------------------------------------------------
     out, warms = cold(scn)
-    jax.block_until_ready(out)
+    scn_reps = [perturb(scn, jnp.asarray(float(k + 1), dtype))
+                for k in range(reps)]
+    jax.block_until_ready((out, scn_reps))
     t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
-        out, warms = cold(scn)
-    jax.block_until_ready(out)
+    outs = [cold(s)[0] for s in scn_reps]
+    jax.block_until_ready(outs)
     cold_elapsed = (time.perf_counter() - t0) / reps
     cold_rate = batch / cold_elapsed
 
@@ -116,9 +125,8 @@ def main():
     fz, warms2 = ticks(scn, warms, drifts, num_ticks)
     jax.block_until_ready(fz)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        fz, _ = ticks(scn, warms, drifts, num_ticks)
-    jax.block_until_ready(fz)
+    outs = [ticks(s, warms, drifts, num_ticks)[0] for s in scn_reps]
+    jax.block_until_ready(outs)
     warm_elapsed = (time.perf_counter() - t0) / reps
     warm_rate = batch * num_ticks / warm_elapsed
 
@@ -127,13 +135,19 @@ def main():
     scn8 = jax.tree.map(lambda a: a[:8], scn)
     warms8 = jax.tree.map(lambda a: a[:8], warms)
     drifts8 = drifts[:8]
+    # pipelined per-tick device time over 20 DISTINCT pre-created inputs.
+    # A fully serialized measure adds ~40 ms of axon-tunnel HTTP round
+    # trip per call — a tunnel artifact, not device latency; production
+    # deploys co-locate the host loop with the chip.
+    lat_reps = 20
+    scn8_reps = [perturb(scn8, jnp.asarray(float(k + 1), dtype))
+                 for k in range(lat_reps)]
     fz8, w8 = ticks(scn8, warms8, drifts8, 1)
-    jax.block_until_ready(fz8)
+    jax.block_until_ready((fz8, scn8_reps))
     t0 = time.perf_counter()
-    for _ in range(20):
-        fz8, _ = ticks(scn8, warms8, drifts8, 1)
-    jax.block_until_ready(fz8)
-    warm_latency_ms = (time.perf_counter() - t0) / 20 * 1000.0
+    outs = [ticks(s, warms8, drifts8, 1)[0] for s in scn8_reps]
+    jax.block_until_ready(outs)
+    warm_latency_ms = (time.perf_counter() - t0) / lat_reps * 1000.0
 
     result = {
         "metric": "mpc_solves_per_s",
