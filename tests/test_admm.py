@@ -163,3 +163,48 @@ def test_balance_qp_solver():
     np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-3)
     # wrench balance: total fz tracks the gravity feedforward
     np.testing.assert_allclose(np.asarray(grf)[:, 2].sum(), acc[2], rtol=0.05)
+
+
+def test_pyramid_kkt_fused_matches_dense_build():
+    """The single-pass fused KKT build == pbar + sigma I + C'diag(w)C."""
+    rng = np.random.default_rng(7)
+    for dtype in (jnp.float32, jnp.float64):
+        w = jnp.asarray(rng.uniform(0.1, 100.0, 200), dtype)
+        p = rng.normal(size=(120, 120))
+        pbar = jnp.asarray(p @ p.T, dtype)
+        mu = 0.3
+        ref = (pbar + 1e-6 * jnp.eye(120, dtype=dtype)
+               + admm._pyramid_ctc_dense(w, mu, dtype))
+        fused = admm._pyramid_kkt_fused(pbar, 1e-6, w, mu)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-12 if dtype == jnp.float64
+                                   else 1e-5)
+
+
+def test_schulz_inverse_balanced_cold_and_warm():
+    """Balanced Newton-Schulz: converged inverse cold, refined warm, and
+    safeguarded fallback on an out-of-basin warm start."""
+    rng = np.random.default_rng(8)
+    # SPD with a rho_eq-like badly scaled diagonal (1e3 spread)
+    a = rng.normal(size=(120, 120)) * 0.1
+    scale = np.exp(rng.uniform(0, 7, 120))
+    m_np = a @ a.T + np.diag(scale)
+    m = jnp.asarray(m_np, jnp.float32)
+
+    x_cold = admm._schulz_inverse(m, 20)
+    r_cold = np.abs(np.eye(120) - m_np @ np.asarray(x_cold, np.float64))
+    assert r_cold.max() < 1e-4, r_cold.max()
+
+    # warm: perturbed true inverse refines in few steps
+    x0 = jnp.asarray(np.linalg.inv(m_np)
+                     * (1 + 1e-3 * rng.normal(size=(120, 120))), jnp.float32)
+    x_warm = admm._schulz_inverse(m, 2, x0)
+    r_warm = np.abs(np.eye(120) - m_np @ np.asarray(x_warm, np.float64))
+    assert r_warm.max() < 1e-4, r_warm.max()
+
+    # garbage warm start: safeguard must fall back to the cold schedule
+    x_bad = jnp.asarray(rng.normal(size=(120, 120)) * 100, jnp.float32)
+    x_fb = admm._schulz_inverse(m, 20, x_bad)
+    r_fb = np.abs(np.eye(120) - m_np @ np.asarray(x_fb, np.float64))
+    assert np.isfinite(np.asarray(x_fb)).all()
+    assert r_fb.max() < 1e-4, r_fb.max()
