@@ -149,6 +149,21 @@ def main():
     jax.block_until_ready(outs)
     warm_latency_ms = (time.perf_counter() - t0) / lat_reps * 1000.0
 
+    # --- RL policy inference (context metric; R1/R3 stack) ---------------
+    from go1_qp_mpc_controller_tpu.models import policy
+
+    rl_batch = 16384
+    mlp = policy.init_mlp(jax.random.PRNGKey(1))
+    rl_step = jax.jit(jax.vmap(lambda o: policy.mlp_apply(mlp, o)))
+    obs_reps = [jax.random.normal(jax.random.PRNGKey(k),
+                                  (rl_batch, policy.OBS_DIM), dtype)
+                for k in range(3)]
+    jax.block_until_ready([rl_step(o) for o in obs_reps[:1]])
+    t0 = time.perf_counter()
+    acts = [rl_step(o) for o in obs_reps]
+    jax.block_until_ready(acts)
+    rl_rate = rl_batch * len(obs_reps) / (time.perf_counter() - t0)
+
     result = {
         "metric": "mpc_solves_per_s",
         "value": round(warm_rate, 1),
@@ -161,6 +176,7 @@ def main():
         "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
         "warm_tick_latency_ms": round(warm_latency_ms, 3),
         "latency_budget_ms": 2.5,
+        "rl_policy_inferences_per_s": round(rl_rate, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
