@@ -138,20 +138,31 @@ def _schulz_inverse(m_mat, iters, x0=None):
     norminf = jnp.max(jnp.sum(jnp.abs(m_b), axis=-1))
     cold = eye / (1.05 * norminf)
 
+    hi_tail = min(iters, 2)
+    start = 0
     if x0 is not None:
         # balance the warm start: X ~ M^-1  =>  X_b = S^-1 X S^-1.
-        # The basin test only compares a norm against 0.9, so the
-        # residual matmul runs at HIGH (~1e-6 product error on the
-        # balanced operands) — half the passes of HIGHEST.
+        # The basin test shares the first Schulz step's inner product
+        # M_b X_b (resid = I - inner), so the safeguard costs no extra
+        # matmul: accept the stepped warm start when inside the basin
+        # (Frobenius < 0.9), else fall back to the cold init entering
+        # the remaining schedule raw (one step fewer than a cold-only
+        # run — on a fallback tick the inverse is degraded either way
+        # and self-heals over the following ticks).
         x0_b = x0 / (s[:, None] * s[None, :])
-        resid = eye - jnp.matmul(m_b, x0_b, precision=lo)
+        inner = jnp.matmul(m_b, x0_b, precision=hi)
+        resid = eye - inner
         rn = jnp.sqrt(jnp.sum(resid * resid))
-        x = jnp.where(rn < 0.9, x0_b, cold)
+        if iters == 0:
+            x = jnp.where(rn < 0.9, x0_b, cold)
+        else:
+            stepped = jnp.matmul(x0_b, eye2 - inner, precision=hi)
+            x = jnp.where(rn < 0.9, stepped, cold)
+            start = 1
     else:
         x = cold
 
-    hi_tail = min(iters, 2)
-    for k in range(iters):
+    for k in range(start, iters):
         prec = hi if k >= iters - hi_tail else lo
         x = jnp.matmul(x, eye2 - jnp.matmul(m_b, x, precision=prec),
                        precision=prec)
