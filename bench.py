@@ -158,7 +158,10 @@ def main():
     obs_reps = [jax.random.normal(jax.random.PRNGKey(k),
                                   (rl_batch, policy.OBS_DIM), dtype)
                 for k in range(3)]
-    jax.block_until_ready([rl_step(o) for o in obs_reps[:1]])
+    # warm up on an input OUTSIDE the timed set (execution-cache protocol)
+    warmup_obs = jax.random.normal(jax.random.PRNGKey(99),
+                                   (rl_batch, policy.OBS_DIM), dtype)
+    jax.block_until_ready(rl_step(warmup_obs))
     t0 = time.perf_counter()
     acts = [rl_step(o) for o in obs_reps]
     jax.block_until_ready(acts)

@@ -167,16 +167,7 @@ def condense(a_d, b_d_list, x0, x_ref, q_weights, r_weights, contacts,
     gradient = bq.T @ resid
 
     # --- friction-pyramid bounds (ConvexMpc.cpp:223-245) -----------------
-    inf = jnp.asarray(jnp.inf, dtype)
-    c = contacts.astype(dtype)
-    lb_leg = jnp.stack(
-        [jnp.zeros_like(c), -inf * jnp.ones_like(c),
-         jnp.zeros_like(c), -inf * jnp.ones_like(c), fz_min * c], axis=-1)
-    ub_leg = jnp.stack(
-        [inf * jnp.ones_like(c), jnp.zeros_like(c),
-         inf * jnp.ones_like(c), jnp.zeros_like(c), fz_max * c], axis=-1)
-    lb = jnp.tile(lb_leg.reshape(-1), H)
-    ub = jnp.tile(ub_leg.reshape(-1), H)
+    lb, ub = _pyramid_bounds(contacts, fz_min, fz_max, dtype)
     return CondensedQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
 
 
@@ -419,17 +410,8 @@ def condense_toeplitz(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
     gradient = jnp.einsum('kcx,kji,ic->jx', gq, win_mask,
                           resid).reshape(H * NU)
 
-    inf = jnp.asarray(jnp.inf, dtype)
-    c = contacts.astype(dtype)
-    lb_leg = jnp.stack(
-        [jnp.zeros_like(c), -inf * jnp.ones_like(c),
-         jnp.zeros_like(c), -inf * jnp.ones_like(c), fz_min * c], axis=-1)
-    ub_leg = jnp.stack(
-        [inf * jnp.ones_like(c), jnp.zeros_like(c),
-         inf * jnp.ones_like(c), jnp.zeros_like(c), fz_max * c], axis=-1)
-    return CondensedQP(hessian=hessian, gradient=gradient,
-                       lb=jnp.tile(lb_leg.reshape(-1), H),
-                       ub=jnp.tile(ub_leg.reshape(-1), H))
+    lb, ub = _pyramid_bounds(contacts, fz_min, fz_max, dtype)
+    return CondensedQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
 
 
 # --- friction-pyramid constraint operators --------------------------------

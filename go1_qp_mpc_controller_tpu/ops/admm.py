@@ -27,7 +27,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from go1_qp_mpc_controller_tpu.models import srb
 from go1_qp_mpc_controller_tpu.utils.precision import f32_matmuls
@@ -144,20 +143,40 @@ def _schulz_inverse(m_mat, iters, x0=None):
         # balance the warm start: X ~ M^-1  =>  X_b = S^-1 X S^-1.
         # The basin test shares the first Schulz step's inner product
         # M_b X_b (resid = I - inner), so the safeguard costs no extra
-        # matmul: accept the stepped warm start when inside the basin
-        # (Frobenius < 0.9), else fall back to the cold init entering
-        # the remaining schedule raw (one step fewer than a cold-only
-        # run — on a fallback tick the inverse is degraded either way
-        # and self-heals over the following ticks).
+        # matmul. Both select branches consume that first step: the cold
+        # init is a SCALAR multiple of identity (unit-diagonal balanced
+        # matrix), so its first step c (2I - c M_b) is pure elementwise
+        # arithmetic — the fallback runs the mathematically identical
+        # full-iters cold schedule. (Without this, a fallback at
+        # schulz_refine=1 returned the raw un-iterated init, whose
+        # Frobenius residual always re-fails the basin test — the warm
+        # solver then never recovered.)
         x0_b = x0 / (s[:, None] * s[None, :])
         inner = jnp.matmul(m_b, x0_b, precision=hi)
-        resid = eye - inner
-        rn = jnp.sqrt(jnp.sum(resid * resid))
+        # Basin test on the spectral SIGNATURE of the step's own inner
+        # product M_b X_b (elementwise only, no extra matmul): strictly
+        # positive diagonal and row sums < 1.9. This accepts both the
+        # normal warm cadence (inner ~ I: any norm bound ||I - inner||
+        # < 0.9 implies this signature) AND a partially converged inverse
+        # from our own lineage (e.g. rebuilt cold after a contact flip),
+        # whose rho(I - M_b X_b) < 1 but norm ~ 1 - 2/cond — NO norm
+        # bound can accept it, and rejecting it froze the warm path in
+        # per-tick cold restarts forever (the 1-step-from-cold inverse
+        # can never pass a norm test; measured: residual bit-frozen at
+        # 0.44 over ticks). With the signature test a fallback heals
+        # quadratically across ticks (0.44 -> 0.21 -> 0.05 -> 4e-3).
+        # A false accept (adversarial indefinite x0 passing the
+        # signature) diverges into the solver's non-finite latch.
+        row_inner = jnp.sum(jnp.abs(inner), axis=-1)
+        d = jnp.diagonal(inner)
+        ok = (jnp.min(d) > 1e-4) & (jnp.max(row_inner) < 1.9)
         if iters == 0:
-            x = jnp.where(rn < 0.9, x0_b, cold)
+            x = jnp.where(ok, x0_b, cold)
         else:
             stepped = jnp.matmul(x0_b, eye2 - inner, precision=hi)
-            x = jnp.where(rn < 0.9, stepped, cold)
+            c = 1.0 / (1.05 * norminf)
+            stepped_cold = c * (eye2 - c * m_b)
+            x = jnp.where(ok, stepped, stepped_cold)
             start = 1
     else:
         x = cold
@@ -170,17 +189,19 @@ def _schulz_inverse(m_mat, iters, x0=None):
 
 
 def _schulz_refine_warm(m_mat, x0, iters):
-    """Warm-path Newton-Schulz refinement (full f32 precision).
+    """Warm-path Newton-Schulz refinement (balanced schedule).
 
-    Negative results from precision-reduction attempts (kept as a record):
+    Delegates to :func:`_schulz_inverse` (Jacobi-balanced, HIGH-precision
+    middle steps, HIGHEST tail, fused basin safeguard). Negative results
+    from earlier precision-reduction attempts, kept as a record:
     (a) a 2-probe safeguard estimate diverges — random probes catch only
     ~||E||_F/sqrt(n) of a spiky residual spectrum, accepting warm starts
-    outside the basin that Schulz squares to overflow; (b) bf16 middle
-    steps stall — the eq-rho-boosted KKT rows differ by ~1e3 in magnitude,
-    so single-pass-bf16 product error (relative to the *uncancelled*
-    product magnitudes) leaves an O(row-imbalance x 4e-3) residual floor
-    that the final f32 step cannot recover (measured: warm-vs-cold GRF
-    median 1 N -> 88 N). Equilibrated-bf16 refinement is the open follow-up.
+    outside the basin that Schulz squares to overflow; (b) single-pass
+    bf16 (DEFAULT) middle steps on the UNbalanced KKT stall — rows differ
+    by ~1e3, so product error (relative to the *uncancelled* magnitudes)
+    leaves an O(row-imbalance x 4e-3) residual floor (measured:
+    warm-vs-cold GRF median 1 N -> 88 N); balanced-DEFAULT passes random
+    scenarios but NaNs the closed-loop rollout (see _schulz_inverse).
     """
     return _schulz_inverse(m_mat, iters, x0)
 

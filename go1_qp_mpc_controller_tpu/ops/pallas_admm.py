@@ -177,8 +177,6 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
     eq = jnp.isclose(qps.lb, qps.ub)
     rho_vec = jnp.where(eq, warms.rho[:, None] * settings.rho_eq_scale,
                         warms.rho[:, None])
-    eye_n = jnp.eye(n, dtype=dtype)
-
     m_mat = jax.vmap(
         lambda pb, rv, mu_s: admm._pyramid_kkt_fused(
             pb, settings.sigma, rv, mu_s))(pbar, rho_vec, mus)
