@@ -59,6 +59,15 @@ QP_Q_WEIGHTS = (1.0, 1.0, 1.0, 400.0, 400.0, 100.0)
 # --- MPC discretization dt on hardware (s) -- A1RobotControl.cpp:458-462 --
 HARDWARE_MPC_DT = 0.0025
 
+# --- joint position limits (rad) per leg (hip, thigh, calf) ----------------
+# terminal-state bounds the environment adapters check every tick
+# (GazeboA1ROS.h:175-179, GazeboA1ROS.cpp:418-425)
+JOINT_POS_LIMITS = (
+    (-1.047, 1.047),    # hip
+    (-0.663, 2.966),    # thigh
+    (-2.721, -0.837),   # calf
+)
+
 # --- derived QP sizes -----------------------------------------------------
 MPC_NV = NUM_DOF * PLAN_HORIZON           # 120 decision variables
 MPC_NC = MPC_CONSTRAINT_DIM * PLAN_HORIZON  # 200 constraint rows

@@ -67,6 +67,25 @@ def clamp_axes(axes):
                            P.JOY_CMD_ROLL_MAX))
 
 
+def is_terminal_state(joint_pos):
+    """True if any joint is at/past its position limit.
+
+    The environment adapters run this every tick and terminate the
+    control process when it trips (GazeboA1ROS::isTerminalState,
+    src/a1_cpp/src/GazeboA1ROS.cpp:418-425; limits GazeboA1ROS.h:175-179).
+    Branchless; batches with vmap.
+
+    Args:
+      joint_pos: (12,) joint angles ordered (hip, thigh, calf) x 4 legs.
+
+    Returns:
+      () bool.
+    """
+    limits = jnp.asarray(P.JOINT_POS_LIMITS, joint_pos.dtype)  # (3, 2)
+    q = joint_pos.reshape(P.NUM_LEG, P.NUM_DOF_PER_LEG)
+    return jnp.any((q <= limits[None, :, 0]) | (q >= limits[None, :, 1]))
+
+
 def apply_commands(joy, axes, ctrl, params, dt):
     """Process one joystick sample into the controller state.
 

@@ -18,6 +18,7 @@ import time
 import jax
 import numpy as np
 
+from go1_qp_mpc_controller_tpu.config import params as P
 from go1_qp_mpc_controller_tpu.ctrl import controller
 from go1_qp_mpc_controller_tpu.ops import admm
 from go1_qp_mpc_controller_tpu.runtime import bridge as bridge_lib
@@ -38,7 +39,8 @@ class ControlLoop:
 
     def __init__(self, model, params, static, ctrl_state,
                  main_period_s=0.002, grf_period_s=0.002,
-                 settings=admm.ADMMSettings(), power_level=5):
+                 settings=admm.ADMMSettings(), power_level=5,
+                 stop_on_terminal=False):
         self.model = model
         self.params = params
         self.static = static
@@ -49,6 +51,11 @@ class ControlLoop:
         self.metrics = metrics_lib.MetricsLogger()
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # joint-limit terminal-state watchdog (GazeboA1ROS.cpp:233,418-425;
+        # the reference prints it per send_cmd with the shutdown commented
+        # out — stop_on_terminal=True enables the shutdown)
+        self.stop_on_terminal = stop_on_terminal
+        self._pos_limits = np.asarray(P.JOINT_POS_LIMITS)
         solver = (controller.MPC if static.solver == "mpc"
                   else controller.QP)
 
@@ -93,6 +100,13 @@ class ControlLoop:
             tick, sensors = self._read_sensor_data()
             if tick > 0 and tick != last_sensor_tick:
                 last_sensor_tick = tick
+                q = np.asarray(sensors.joint_pos).reshape(4, 3)
+                terminal = bool(np.any((q <= self._pos_limits[:, 0])
+                                       | (q >= self._pos_limits[:, 1])))
+                self.metrics.log("terminal_state", float(terminal))
+                if terminal and self.stop_on_terminal:
+                    self._stop.set()
+                    break
                 t0 = time.perf_counter()
                 with self._lock:
                     self.state = self._step(self.state, sensors, dt)

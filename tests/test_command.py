@@ -1,5 +1,6 @@
 """Joystick command processing tests (GazeboA1ROS.cpp:117-190 semantics)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,3 +85,22 @@ def test_euler_integration():
         joy, ctrl, params = command.apply_commands(
             joy, _axes(yaw_rate=0.5), ctrl, params, dt)
     np.testing.assert_allclose(float(ctrl.root_euler_d[2]), 0.5, atol=1e-9)
+
+
+def test_terminal_state_joint_limits():
+    # nominal stand pose: inside limits (GazeboA1ROS.h:175-179)
+    q = jnp.asarray([0.0, 0.67, -1.3] * 4, DTYPE)
+    assert not bool(command.is_terminal_state(q))
+    # hip past +1.047 trips
+    q_bad = q.at[0].set(1.2)
+    assert bool(command.is_terminal_state(q_bad))
+    # calf above -0.837 trips (leg 3)
+    q_bad = q.at[11].set(-0.5)
+    assert bool(command.is_terminal_state(q_bad))
+    # exactly at a limit counts as terminal (reference uses <= / >=)
+    q_edge = q.at[4].set(P.JOINT_POS_LIMITS[1][1])
+    assert bool(command.is_terminal_state(q_edge))
+    # batched
+    batch = jnp.stack([q, q_bad, q_edge])
+    out = np.asarray(jax.vmap(command.is_terminal_state)(batch))
+    assert out.tolist() == [False, True, True]

@@ -69,3 +69,27 @@ def test_control_loop_against_bridge():
         assert len(cl.metrics.records("cycle_ms")) >= 1
     finally:
         cl.close()
+
+
+def test_control_loop_terminal_watchdog():
+    """A joint past its limit trips the terminal-state watchdog and, with
+    stop_on_terminal, halts the loop (GazeboA1ROS.cpp:233, 418-425)."""
+    model, params, static = presets.load_preset("gazebo_mpc", jnp.float32)
+    ctrl = types.init_ctrl_state(model, jnp.float32)
+    cl = loop_lib.ControlLoop(
+        model, params, static, ctrl, main_period_s=0.01,
+        settings=admm.ADMMSettings(seg_iters=2, segments=1, polish=False),
+        stop_on_terminal=True)
+    try:
+        quat = np.array([1.0, 0, 0, 0])
+        q = np.array([0.0, 0.67, -1.3] * 4)
+        q[0] = 1.5   # hip past the +1.047 limit
+        cl.bridge.push_sensors(quat, np.array([0.0, 0.0, 9.81]),
+                               np.zeros(3), q, np.zeros(12),
+                               np.full(4, 40.0))
+        ticks = cl.run(num_ticks=5)
+        assert ticks == 0            # stopped on the first sensor frame
+        recs = cl.metrics.records("terminal_state")
+        assert recs and recs[-1]["value"] == 1.0
+    finally:
+        cl.close()
