@@ -277,13 +277,56 @@ _NILP_COEFFS_E = _nilpotent_coeffs_expanded()
 # (12, 12) block H times along the lanes as an MXU matmul (a jnp.tile is a
 # lane shuffle the VPU serializes; a constant 0/1 matmul is free on the MXU)
 _NILP_EXPAND = np.tile(np.eye(NU, dtype=np.float32), (1, H))
+# Hessian-diagonal coefficient slice: COEFFS_DIAG[k, a] = COEFFS_E[k, a//NU, a]
+_NILP_COEFFS_DIAG = _NILP_COEFFS_E[:, np.arange(H * NU) // NU,
+                                   np.arange(H * NU)]
+
+
+class LazyCondensedQP(NamedTuple):
+    """Condensed MPC QP with the Hessian in unmaterialized factored form.
+
+    ``hessian = sum_k COEF[k] * tiled[k] (reshaped) + diag(r_diag)`` with
+    COEF the constant ``_NILP_COEFFS_E``. Consumers that only reduce or
+    rescale the Hessian (the warm-tick fused KKT build,
+    ops.admm.solve_warm_fused) evaluate that sum inside their own fused
+    pass, skipping the per-scenario (120, 120) HBM round trip that
+    :func:`condense_nilpotent_const` pays to materialize it.
+
+    Attributes:
+      tiled: (4, 1, 12, 120) lane-expanded Gram quadrants (per scenario).
+      r_diag: (120,) the 2*R diagonal term.
+      gradient, lb, ub: as in CondensedQP.
+    """
+    tiled: jnp.ndarray
+    r_diag: jnp.ndarray
+    gradient: jnp.ndarray
+    lb: jnp.ndarray
+    ub: jnp.ndarray
+
+
+def lazy_hessian(lazy):
+    """Materialize the (120, 120) Hessian of a LazyCondensedQP."""
+    dtype = lazy.tiled.dtype
+    coef = jnp.asarray(_NILP_COEFFS_E, dtype)                # (4, H, 120)
+    h_blocks = jnp.sum(coef[:, :, None, :] * lazy.tiled, axis=0)
+    return h_blocks.reshape(H * NU, H * NU) + jnp.diag(lazy.r_diag)
+
+
+def lazy_hessian_diag(lazy):
+    """diag(hessian) of a LazyCondensedQP without materializing it."""
+    dtype = lazy.tiled.dtype
+    cdiag = jnp.asarray(_NILP_COEFFS_DIAG, dtype)            # (4, 120)
+    xin = (jnp.arange(H * NU) % NU)[None, None, :]
+    tiled3 = lazy.tiled.reshape(4, NU, H * NU)
+    tdiag = jnp.take_along_axis(tiled3, xin, axis=1)[:, 0, :]  # (4, 120)
+    return jnp.sum(cdiag * tdiag, axis=0) + lazy.r_diag
 
 
 @f32_matmuls
-def condense_nilpotent_const(a_d, b_d, x0, x_ref, q_weights, r_weights,
-                             contacts, fz_min=P.MPC_FZ_MIN,
-                             fz_max=P.MPC_FZ_MAX):
-    """Closed-form condensation for a constant B_d across the horizon.
+def condense_nilpotent_lazy(a_d, b_d, x0, x_ref, q_weights, r_weights,
+                            contacts, fz_min=P.MPC_FZ_MIN,
+                            fz_max=P.MPC_FZ_MAX):
+    """Closed-form condensation for a constant B_d, Hessian left factored.
 
     The reference's controller path holds foot positions constant over the
     horizon (A1RobotControl.cpp:498-514), so B_d is shared. Combining that
@@ -314,10 +357,6 @@ def condense_nilpotent_const(a_d, b_d, x0, x_ref, q_weights, r_weights,
         axis=0)                                          # (48, 12)
     expand = jnp.asarray(_NILP_EXPAND, dtype)            # (12, 120)
     tiled = (quad4 @ expand).reshape(4, 1, NU, H * NU)   # (4, 1, 12, 120)
-    coef = jnp.asarray(_NILP_COEFFS_E, dtype)            # (4, H, 120)
-    h_blocks = jnp.sum(coef[:, :, None, :] * tiled, axis=0)  # (H, 12, 120)
-    hessian = (h_blocks.reshape(H * NU, H * NU)
-               + jnp.diag(jnp.tile(2.0 * r_weights, H)))
 
     # residuals r_i = A_d^(i+1) x0 - xref_i via the polynomial in N
     n1 = n_mat @ x0
@@ -338,7 +377,34 @@ def condense_nilpotent_const(a_d, b_d, x0, x_ref, q_weights, r_weights,
     gradient = (s_both @ w2).reshape(H * NU)
 
     lb, ub = _pyramid_bounds(contacts, fz_min, fz_max, dtype)
-    return CondensedQP(hessian=hessian, gradient=gradient, lb=lb, ub=ub)
+    return LazyCondensedQP(tiled=tiled,
+                           r_diag=jnp.tile(2.0 * r_weights, H),
+                           gradient=gradient, lb=lb, ub=ub)
+
+
+@f32_matmuls
+def condense_nilpotent_const(a_d, b_d, x0, x_ref, q_weights, r_weights,
+                             contacts, fz_min=P.MPC_FZ_MIN,
+                             fz_max=P.MPC_FZ_MAX):
+    """Closed-form condensation for a constant B_d across the horizon.
+
+    The reference's controller path holds foot positions constant over the
+    horizon (A1RobotControl.cpp:498-514), so B_d is shared. Combining that
+    with the nilpotent structure (N = A_d - I, N^3 = 0, N^2 B_d = 0; see
+    :func:`condense_nilpotent`) removes ALL large matmuls: the Hessian
+    assembles from four 12x12 Gram blocks (U'QU, U'QV, V'QU, V'QV) scaled
+    by constant coefficient masks — one fused elementwise pass over the
+    (120, 120) output per scenario. Numerically identical to
+    :func:`condense` with a broadcast b_d_list.
+
+    Args:
+      a_d: (13, 13); b_d: (13, 12) shared across steps.
+      Remaining args as in :func:`condense`.
+    """
+    lazy = condense_nilpotent_lazy(a_d, b_d, x0, x_ref, q_weights,
+                                   r_weights, contacts, fz_min, fz_max)
+    return CondensedQP(hessian=lazy_hessian(lazy), gradient=lazy.gradient,
+                       lb=lazy.lb, ub=lazy.ub)
 
 
 def _toeplitz_mask(dtype=np.float32):

@@ -125,15 +125,29 @@ def _schulz_inverse(m_mat, iters, x0=None):
     computed at HIGHEST precision — a bf16 safeguard is noise-swamped),
     else fall back to the guaranteed cold init.
     """
-    n = m_mat.shape[-1]
-    dtype = m_mat.dtype
+    s = jax.lax.rsqrt(jnp.diagonal(m_mat))
+    m_b = m_mat * s[:, None] * s[None, :]
+    return _schulz_iterate_balanced(m_b, s, iters, x0)
+
+
+def _schulz_iterate_balanced(m_b, s, iters, x0=None):
+    """Newton-Schulz on an already-balanced matrix (see _schulz_inverse).
+
+    Args:
+      m_b: (n, n) Jacobi-balanced matrix (unit diagonal).
+      s: (n,) the balancing scale diag(M)^-1/2.
+      x0: optional UNBALANCED warm inverse (basin-safeguarded).
+
+    Returns:
+      The UNBALANCED inverse S (M_b)^-1 S.
+    """
+    n = m_b.shape[-1]
+    dtype = m_b.dtype
     eye = jnp.eye(n, dtype=dtype)
     eye2 = 2.0 * eye
     hi = jax.lax.Precision.HIGHEST
     lo = jax.lax.Precision.HIGH
 
-    s = jax.lax.rsqrt(jnp.diagonal(m_mat))
-    m_b = m_mat * s[:, None] * s[None, :]
     norminf = jnp.max(jnp.sum(jnp.abs(m_b), axis=-1))
     cold = eye / (1.05 * norminf)
 
@@ -471,7 +485,6 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
     lb_f = jnp.maximum(lb, -big)
     ub_f = jnp.minimum(ub, big)
-    alpha = settings.alpha
     sigma = settings.sigma
 
     rho = warm.rho
@@ -483,7 +496,20 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     else:
         m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
     minv = _schulz_refine_warm(m_mat, warm.minv, settings.schulz_refine)
+    return _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f,
+                        rho, rho_vec, matvec, rmatvec, warm, settings)
 
+
+def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
+                 rho_vec, matvec, rmatvec, warm, settings):
+    """Shared warm-tick tail: fixed ADMM iterations + NaN latch + packaging.
+
+    ``hessian`` may be a thunk (LazyCondensedQP path) — it is only consumed
+    by the dual-residual diagnostic, which XLA dead-code-eliminates when
+    callers ignore it.
+    """
+    alpha = settings.alpha
+    sigma = settings.sigma
     x = warm.x
     y = warm.y * cost
     z = jnp.clip(matvec(x), lb_f, ub_f)
@@ -506,13 +532,53 @@ def solve_warm(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     y = jnp.where(finite, y, jnp.zeros_like(y))
     z = jnp.where(finite, z, jnp.zeros_like(z))
 
+    h_mat = hessian() if callable(hessian) else hessian
     y_out = y / cost
     primal = jnp.max(jnp.abs(matvec(x) - z))
-    dual = jnp.max(jnp.abs(hessian @ x + gradient + rmatvec(y_out)))
+    dual = jnp.max(jnp.abs(h_mat @ x + gradient + rmatvec(y_out)))
     sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
                        primal_res=jnp.where(finite, primal, 1e6),
                        dual_res=jnp.where(finite, dual, 1e6))
     return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv)
+
+
+@f32_matmuls
+def solve_warm_fused(lazy, warm, settings, mu):
+    """Warm tick over a LazyCondensedQP: the Hessian is NEVER materialized.
+
+    Fuses condensation output -> cost scaling -> friction-pyramid KKT band
+    -> Jacobi balancing into a single (n, n) output write (the balanced
+    KKT M_b), where :func:`solve_warm` pays separate HBM round trips for
+    the hessian, pbar, m_mat, and the balance. Same mathematics as
+    :func:`solve_warm` with the fused pyramid build (rmatvec_dense=None);
+    only fp reassociation differs.
+    """
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    dtype = lazy.gradient.dtype
+    n = lazy.gradient.shape[-1]
+    hess = lambda: srb_mod.lazy_hessian(lazy)   # re-fused per consumer
+    cost = 1.0 / jnp.maximum(jnp.max(jnp.abs(hess())), 1e-12)
+    qbar = cost * lazy.gradient
+    eq = jnp.isclose(lazy.lb, lazy.ub)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    lb_f = jnp.maximum(lazy.lb, -big)
+    ub_f = jnp.minimum(lazy.ub, big)
+
+    rho = warm.rho
+    rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
+    main, off1, off2 = _pyramid_band_diags(rho_vec, mu)
+    h_diag = srb_mod.lazy_hessian_diag(lazy)
+    s = jax.lax.rsqrt(cost * h_diag + main + settings.sigma)
+    band = _band_expr(main, off1, off2, settings.sigma, n, dtype)
+    m_b = (cost * hess() + band) * s[:, None] * s[None, :]
+    minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
+                                    warm.minv)
+
+    matvec = functools.partial(srb_mod.constraint_matvec, mu=mu)
+    rmatvec = functools.partial(srb_mod.constraint_rmatvec, mu=mu)
+    return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f, ub_f,
+                        rho, rho_vec, matvec, rmatvec, warm, settings)
 
 
 def warm_state_from_solution(sol, minv_seed=None, n=None, dtype=None):
@@ -559,6 +625,37 @@ def _pyramid_ctc_dense(w, mu, dtype):
     return out.astype(dtype)
 
 
+def _pyramid_band_diags(w, mu):
+    """The three diagonals of C' diag(w) C for the friction pyramid.
+
+    Returns (main, off1, off2): the main diagonal, the (3k+1, 3k+2) yz
+    coupling stored at its minimum index, and the (3k, 3k+2) xz coupling.
+    """
+    wb = w.reshape(-1, 5)
+    w0, w1, w2, w3, w4 = (wb[:, 0], wb[:, 1], wb[:, 2], wb[:, 3], wb[:, 4])
+    main = jnp.stack([w0 + w1, w2 + w3,
+                      mu * mu * (w0 + w1 + w2 + w3) + w4],
+                     axis=-1).reshape(-1)                       # (n,)
+    off1 = jnp.stack([jnp.zeros_like(w0), mu * (w2 - w3),
+                      jnp.zeros_like(w0)], axis=-1).reshape(-1)  # at min idx
+    off2 = jnp.stack([mu * (w0 - w1), jnp.zeros_like(w0),
+                      jnp.zeros_like(w0)], axis=-1).reshape(-1)
+    return main, off1, off2
+
+
+def _band_expr(main, off1, off2, sigma, n, dtype):
+    """(n, n) band matrix sigma I + C' diag(w) C from its three diagonals,
+    via broadcasted-iota masks (fuses into the consumer's output pass)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    band = (jnp.where(ii == jj, main[:, None] + sigma, 0.0)
+            + jnp.where(jj == ii + 1, off1[:, None], 0.0)
+            + jnp.where(ii == jj + 1, off1[None, :], 0.0)
+            + jnp.where(jj == ii + 2, off2[:, None], 0.0)
+            + jnp.where(ii == jj + 2, off2[None, :], 0.0))
+    return band.astype(dtype)
+
+
 def _pyramid_kkt_fused(pbar, sigma, w, mu):
     """M = pbar + sigma I + C' diag(w) C in ONE fused elementwise pass.
 
@@ -569,24 +666,8 @@ def _pyramid_kkt_fused(pbar, sigma, w, mu):
     ~0.6 ms at batch 4096).
     """
     n = pbar.shape[-1]
-    dtype = pbar.dtype
-    wb = w.reshape(-1, 5)
-    w0, w1, w2, w3, w4 = (wb[:, 0], wb[:, 1], wb[:, 2], wb[:, 3], wb[:, 4])
-    main = jnp.stack([w0 + w1, w2 + w3,
-                      mu * mu * (w0 + w1 + w2 + w3) + w4],
-                     axis=-1).reshape(-1)                       # (n,)
-    off1 = jnp.stack([jnp.zeros_like(w0), mu * (w2 - w3),
-                      jnp.zeros_like(w0)], axis=-1).reshape(-1)  # at min idx
-    off2 = jnp.stack([mu * (w0 - w1), jnp.zeros_like(w0),
-                      jnp.zeros_like(w0)], axis=-1).reshape(-1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    band = (jnp.where(ii == jj, main[:, None] + sigma, 0.0)
-            + jnp.where(jj == ii + 1, off1[:, None], 0.0)
-            + jnp.where(ii == jj + 1, off1[None, :], 0.0)
-            + jnp.where(jj == ii + 2, off2[:, None], 0.0)
-            + jnp.where(ii == jj + 2, off2[None, :], 0.0))
-    return pbar + band.astype(dtype)
+    main, off1, off2 = _pyramid_band_diags(w, mu)
+    return pbar + _band_expr(main, off1, off2, sigma, n, pbar.dtype)
 
 
 def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
@@ -611,3 +692,12 @@ def mpc_solve_warm(qp, warm, settings=ADMMSettings(), mu=None):
     rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
     return solve_warm(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec,
                       rmatvec, None, settings, warm, warm_mu=mu)
+
+
+def mpc_solve_warm_fused(lazy_qp, warm, settings=ADMMSettings(), mu=None):
+    """Warm-tick MPC solve over a srb.LazyCondensedQP (see
+    :func:`solve_warm_fused`): the production fast path — the condensed
+    Hessian stays unmaterialized through the KKT build and balancing."""
+    from go1_qp_mpc_controller_tpu.config import params as P
+    mu = P.MPC_MU if mu is None else mu
+    return solve_warm_fused(lazy_qp, warm, settings, mu)

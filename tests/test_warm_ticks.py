@@ -78,3 +78,43 @@ def test_warm_tick_batch_consistency():
         # solver tolerance, not bitwise
         np.testing.assert_allclose(np.asarray(batched.x[i]),
                                    np.asarray(single.x), atol=1e-3)
+
+
+def test_fused_lazy_warm_tick_matches_regular():
+    """solve_warm_fused (unmaterialized-Hessian KKT build) is algebraically
+    identical to solve_warm + condense_nilpotent_const: in float64 the two
+    paths differ only by fp reassociation (~1e-10)."""
+    f = oracle.test_mpc_fixture()
+    a_d = jnp.asarray(f["a_d"], DTYPE)
+    b_d = jnp.asarray(f["b_d_list"], DTYPE)[0]   # constant-B_d path
+    x_ref = jnp.asarray(f["x_ref"], DTYPE).reshape(10, 13)
+    qw = jnp.asarray(f["q_weights"], DTYPE)
+    rw = jnp.asarray(f["r_weights"], DTYPE)
+    contacts = jnp.asarray(f["contacts"], DTYPE)
+    x0 = jnp.asarray(f["x0"], DTYPE)
+
+    qp0 = srb.condense_nilpotent_const(a_d, b_d, x0, x_ref, qw, rw,
+                                       contacts)
+    _, warm = admm.mpc_solve(qp0, admm.ADMMSettings(), return_warm=True)
+    # lazy form materializes to the identical QP
+    lz0 = srb.condense_nilpotent_lazy(a_d, b_d, x0, x_ref, qw, rw,
+                                      contacts)
+    np.testing.assert_allclose(np.asarray(srb.lazy_hessian(lz0)),
+                               np.asarray(qp0.hessian), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(srb.lazy_hessian_diag(lz0)),
+                               np.asarray(np.diag(np.asarray(qp0.hessian))),
+                               rtol=0, atol=1e-12)
+
+    drift = jnp.zeros(13, DTYPE).at[9].set(0.002).at[5].set(-0.0005)
+    warm_a = warm_b = warm
+    for _ in range(6):
+        x0 = x0 + drift
+        qp_k = srb.condense_nilpotent_const(a_d, b_d, x0, x_ref, qw, rw,
+                                            contacts)
+        lz_k = srb.condense_nilpotent_lazy(a_d, b_d, x0, x_ref, qw, rw,
+                                           contacts)
+        sol_a, warm_a = admm.mpc_solve_warm(qp_k, warm_a, WARM)
+        sol_b, warm_b = admm.mpc_solve_warm_fused(lz_k, warm_b, WARM)
+        np.testing.assert_allclose(np.asarray(sol_b.x), np.asarray(sol_a.x),
+                                   rtol=0, atol=1e-8)
+        assert float(sol_b.dual_res) < 5e-4
