@@ -20,6 +20,7 @@ the reference's launch-time solver_type selection (launch/a1_ctrl.launch:2).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from go1_qp_mpc_controller_tpu.config import params as P
@@ -30,6 +31,34 @@ from go1_qp_mpc_controller_tpu.utils import rotations
 
 MPC = 1   # stance_leg_control_type values (A1CtrlStates.h:330)
 QP = 0
+
+# Production warm-tick solver schedule: one ADMM segment on the carried
+# KKT inverse (Schulz-refined), exactly the benchmarked fast path. Cold
+# solves (gait-transition ticks) use the caller's ``settings``.
+WARM_SETTINGS = admm.ADMMSettings(seg_iters=25, segments=1, polish=False,
+                                  schulz_refine=2)
+
+# rho band for the warm cadence. The warm tick runs a FIXED iteration
+# budget, so the carried rho must stay where 25 iterations contract well.
+# An unbanded transition solve on an all-stance QP adapts rho to 1e-3
+# (primal residual is exactly 0 from iteration 1, so the sqrt(prim/dual)
+# rule floors out) — a rho at which the next warm ticks cannot track the
+# fast post-warmup reference drift and tick-over-tick error compounds to
+# divergence (measured: standing forces 37 -> 58 -> 80 -> 0.09 N by tick
+# 3). OSQP tolerates tiny rho because it iterates to tolerance instead of
+# a fixed budget (A1RobotControl.cpp:522-540 carries rho the same way).
+WARM_RHO_MIN = 0.02
+WARM_RHO_MAX = 50.0
+
+# Gradient-drift trigger for cold re-solves: a warm tick's fixed budget
+# tracks the QP optimum faithfully while the per-tick gradient drift is
+# small (steady trot measures ~3e-3 relative; warm-vs-cold GRF diff then
+# < 0.5 N), but lags by tens of N during fast transients (mode switches,
+# velocity steps, post-warmup force ramps: drift 2e-2..0.35). Ticks whose
+# gradient moved more than this relative threshold take the full cold
+# solve — the fixed-budget analog of OSQP iterating to tolerance no
+# matter how far the warm start is.
+WARM_DRIFT_TOL = 0.01
 
 
 class SensorData(NamedTuple):
@@ -94,11 +123,27 @@ def sensor_update(state, model, sensors, dt, estimate=True):
 
 
 def compute_grf_mpc(state, model, params,
-                    settings=admm.ADMMSettings(), use_terrain_adapt=True):
+                    settings=admm.ADMMSettings(), use_terrain_adapt=True,
+                    warm_settings=WARM_SETTINGS):
     """Horizon-10 condensed MPC solve (A1RobotControl.cpp:446-561).
 
-    Uses the warm-started persistent solver pattern: primal/dual/rho carry
-    across ticks in the CtrlState (matching A1RobotControl.cpp:522-540).
+    Runs the persistent warm-started solver pattern the reference uses (one
+    OSQP instance updated in place per tick, A1RobotControl.cpp:522-540):
+    the CtrlState carries primal/dual/rho AND the Schulz-refined KKT
+    inverse, so steady-state ticks take the fused lazy path
+    (condense_nilpotent_lazy + mpc_solve_warm_fused — the Hessian is never
+    materialized). A contact flip changes the KKT equality pattern, which
+    degrades the carried inverse (ops/admm.py solve_warm caveat), so
+    gait-transition ticks run the full cold :func:`admm.mpc_solve` instead
+    — under ``lax.cond``, which in the unbatched production loop executes
+    only the taken branch (under vmap both branches run as a select; pass
+    ``warm_settings=None`` there to keep the legacy cold-every-tick path,
+    or accept the blend).
+
+    Args:
+      warm_settings: ADMMSettings for steady-state warm ticks, or None to
+        solve cold every tick (legacy path; ``settings`` then applies to
+        every solve, warm-started with primal/dual only).
     """
     state = terrain.terrain_adaptation(state, use_terrain_adapt)
 
@@ -111,27 +156,107 @@ def compute_grf_mpc(state, model, params,
         params.mpc_dt)
 
     a_c = srb.calculate_A_c(state.root_euler)
+    # Swing-leg forces are pinned to ZERO by the friction-pyramid rows
+    # (contact=0 makes the fz row an equality and the four fx/fy rows then
+    # sandwich those to 0), so swing columns of B never influence the
+    # solved GRFs. Substituting the planned foothold for the fast-moving
+    # swing foot is therefore solution-neutral — and it keeps the KKT
+    # matrix ~constant between gait transitions, so the carried Schulz
+    # inverse tracks with 1-2 refinement steps instead of being rejected
+    # by the basin safeguard mid-swing (measured: ~5%/tick KKT drift from
+    # Bezier swing motion trips the row-sum test and the fallback's short
+    # schedule left a resid~1 inverse -> divergence). Also mirrors the
+    # receding-foothold variant the reference demonstrates
+    # (test_mpc.cpp:105-122: future steps use predicted footholds).
+    foot_pos_mpc = jnp.where(state.contacts[:, None], state.foot_pos_abs,
+                             state.foot_pos_target_abs)
     b_c = srb.calculate_B_c(model.mass, model.trunk_inertia,
-                            state.root_rot_mat, state.foot_pos_abs)
+                            state.root_rot_mat, foot_pos_mpc)
     a_d, b_d = srb.discretize(a_c, b_c, params.mpc_dt)
     # the reference holds foot positions constant over the horizon
     # (A1RobotControl.cpp:498-514) -> identical B_d per step, which the
     # closed-form nilpotent condensation exploits (no A-power recursion)
-    qp = srb.condense_nilpotent_const(a_d, b_d, x0, x_ref, params.q_weights,
-                                      params.r_weights, state.contacts)
-    sol = admm.mpc_solve(qp, settings, warm_x=state.qp_warm_x,
-                         warm_y=state.qp_warm_y)
+    lazy = srb.condense_nilpotent_lazy(a_d, b_d, x0, x_ref,
+                                       params.q_weights, params.r_weights,
+                                       state.contacts)
 
-    grf_world = sol.x[:12].reshape(4, 3)
+    if warm_settings is None:
+        qp = srb.CondensedQP(hessian=srb.lazy_hessian(lazy),
+                             gradient=lazy.gradient, lb=lazy.lb, ub=lazy.ub)
+        sol = admm.mpc_solve(qp, settings, warm_x=state.qp_warm_x,
+                             warm_y=state.qp_warm_y)
+        warm_out = admm.WarmState(x=sol.x, y=sol.y, rho=state.qp_warm_rho,
+                                  minv=state.qp_warm_minv)
+    else:
+        warm_in = admm.WarmState(x=state.qp_warm_x, y=state.qp_warm_y,
+                                 rho=jnp.clip(state.qp_warm_rho,
+                                              WARM_RHO_MIN, WARM_RHO_MAX),
+                                 minv=state.qp_warm_minv)
+        # a cold solve is forced when (a) the contact pattern flipped (the
+        # KKT equality pattern changed -> carried inverse invalid, the
+        # solve_warm caveat in ops/admm.py) or (b) the basin probe says
+        # the carry is unrefinable (post-latch garbage, large state jump)
+        # — the in-solver short-schedule fallback cannot converge a cold
+        # init and would emit several garbage-GRF ticks
+        grad_drift = (jnp.max(jnp.abs(lazy.gradient - state.qp_warm_grad))
+                      / (jnp.max(jnp.abs(lazy.gradient)) + 1e-9))
+        contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
+        transition = (contact_flip
+                      | (grad_drift > WARM_DRIFT_TOL)
+                      | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
+        # a flip changes the active set: the carried duals belong to the
+        # OLD equality pattern and poison even a full cold solve (measured
+        # 31 N off a fresh-start reference at trot flips); restart the
+        # duals and zero the newly-infeasible primal entries instead
+        swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
+        x_flip = warm_in.x * (1.0 - jnp.tile(swing_u, P.PLAN_HORIZON))
+        warm_in = warm_in._replace(
+            x=jnp.where(contact_flip, x_flip, warm_in.x),
+            y=jnp.where(contact_flip, jnp.zeros_like(warm_in.y),
+                        warm_in.y))
+        # transition solves adapt rho only inside the warm-viable band so
+        # the carried (rho, minv) pair stays self-consistent
+        settings_t = settings._replace(
+            rho_min=max(settings.rho_min, WARM_RHO_MIN),
+            rho_max=min(settings.rho_max, WARM_RHO_MAX))
+
+        def cold_branch(lz, warm):
+            qp = srb.CondensedQP(hessian=srb.lazy_hessian(lz),
+                                 gradient=lz.gradient, lb=lz.lb, ub=lz.ub)
+            sol, w = admm.mpc_solve(qp, settings_t, warm_x=warm.x,
+                                    warm_y=warm.y, warm_rho=warm.rho,
+                                    return_warm=True)
+            return sol.x, w
+
+        def warm_branch(lz, warm):
+            sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
+            return sol.x, w
+
+        x_sol, warm_out = jax.lax.cond(transition, cold_branch,
+                                       warm_branch, lazy, warm_in)
+
+    grf_x = sol.x if warm_settings is None else x_sol
+    grf_world = grf_x[:12].reshape(4, 3)
     grf_body = grf_world @ state.root_rot_mat    # R^T f per leg
     # NaN guard per leg (A1RobotControl.cpp:558-561)
     bad = jnp.isnan(jnp.linalg.norm(grf_body, axis=-1, keepdims=True))
+    any_bad = jnp.any(bad)
     grf_body = jnp.where(bad, state.foot_forces_grf, grf_body)
-    return state._replace(foot_forces_grf=grf_body,
-                          qp_warm_x=jnp.where(jnp.any(bad), state.qp_warm_x,
-                                              sol.x),
-                          qp_warm_y=jnp.where(jnp.any(bad), state.qp_warm_y,
-                                              sol.y))
+
+    def keep_old(new, old):
+        return jnp.where(any_bad, old, new)
+
+    return state._replace(
+        foot_forces_grf=grf_body,
+        qp_warm_x=keep_old(warm_out.x, state.qp_warm_x),
+        qp_warm_y=keep_old(warm_out.y, state.qp_warm_y),
+        qp_warm_rho=keep_old(warm_out.rho, state.qp_warm_rho),
+        qp_warm_minv=keep_old(warm_out.minv, state.qp_warm_minv),
+        # on a bad solve the old carry (and its contact pattern) stays, so
+        # the next tick re-evaluates the transition test against it
+        qp_warm_contacts=jnp.where(any_bad, state.qp_warm_contacts,
+                                   state.contacts),
+        qp_warm_grad=jnp.where(any_bad, state.qp_warm_grad, lazy.gradient))
 
 
 def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
@@ -147,19 +272,21 @@ def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
 
 
 def control_step(state, model, params, dt, solver_type=MPC,
-                 settings=admm.ADMMSettings(), use_terrain_adapt=True):
+                 settings=admm.ADMMSettings(), use_terrain_adapt=True,
+                 warm_settings=WARM_SETTINGS):
     """One full controller tick; returns updated CtrlState (incl. torques).
 
     Fuses the reference's two-thread pipeline into one jitted program:
     update_plan -> swing control -> GRF solve -> torque mapping
     (MainGazebo.cpp:47-121 collapsed; the estimator runs in
-    :func:`sensor_update`).
+    :func:`sensor_update`). The MPC branch runs the warm-started
+    production solver by default (see :func:`compute_grf_mpc`).
     """
     state = gait.update_plan(state, params, model)
     state = swing.generate_swing_legs_ctrl(state, params, dt)
     if solver_type == MPC:
         state = compute_grf_mpc(state, model, params, settings,
-                                use_terrain_adapt)
+                                use_terrain_adapt, warm_settings)
     else:
         state = compute_grf_qp(state, model, params, settings)
     state = torque.compute_joint_torques(state, params)

@@ -63,7 +63,7 @@ def rollout(carry, model, params, num_steps, dt,
             solver_type=controller.MPC,
             settings=admm.ADMMSettings(),
             command_fn=None, estimate=True, use_terrain_adapt=True,
-            ground_coef=None):
+            ground_coef=None, warm_settings=controller.WARM_SETTINGS):
     """Run ``num_steps`` closed-loop ticks; returns (carry, RolloutTrace).
 
     Args:
@@ -96,7 +96,8 @@ def rollout(carry, model, params, num_steps, dt,
 
         ctrl = controller.control_step(
             ctrl, model, params, dt, solver_type=solver_type,
-            settings=settings, use_terrain_adapt=use_terrain_adapt)
+            settings=settings, use_terrain_adapt=use_terrain_adapt,
+            warm_settings=warm_settings)
 
         sim_new, forces_z = srb_sim.step(
             sim, model, ctrl.joint_torques, ctrl.contacts,

@@ -125,9 +125,18 @@ class CtrlState(NamedTuple):
     estimator_P: jnp.ndarray          # (18, 18)
     estimated_contacts: jnp.ndarray   # (4,) bool
 
-    # warm starts for the QP solver across ticks
+    # persistent warm-started solver carry across ticks — the TPU analog
+    # of the reference's long-lived OSQP instance updated in place every
+    # tick (A1RobotControl.cpp:522-540)
     qp_warm_x: jnp.ndarray            # (120,) primal
     qp_warm_y: jnp.ndarray            # (200,) dual
+    qp_warm_rho: jnp.ndarray          # () adapted ADMM step size
+    qp_warm_minv: jnp.ndarray         # (120, 120) carried KKT inverse
+    qp_warm_contacts: jnp.ndarray     # (4,) contact pattern the carry was
+                                      # built for (a flip = KKT equality
+                                      # pattern change -> cold re-solve)
+    qp_warm_grad: jnp.ndarray         # (120,) gradient the carry solved
+                                      # (drift trigger for cold re-solves)
 
 
 def default_robot_model(dtype=jnp.float32):
@@ -228,4 +237,10 @@ def init_ctrl_state(model, dtype=jnp.float32):
         estimated_contacts=jnp.zeros((4,), bool),
         qp_warm_x=jnp.zeros((P.MPC_NV,), dtype),
         qp_warm_y=jnp.zeros((P.MPC_NC,), dtype),
+        qp_warm_rho=jnp.asarray(0.1, dtype),
+        qp_warm_minv=jnp.eye(P.MPC_NV, dtype=dtype),
+        # all-false differs from every reachable schedule (stand = all
+        # stance), so the first MPC tick always takes the cold branch
+        qp_warm_contacts=jnp.zeros((4,), bool),
+        qp_warm_grad=jnp.zeros((P.MPC_NV,), dtype),
     )

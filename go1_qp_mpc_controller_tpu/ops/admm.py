@@ -57,6 +57,15 @@ class ADMMSettings(NamedTuple):
     # well-conditioned for float32 Newton-Schulz inversion
     rho_min: float = 1e-3
     rho_max: float = 1e3
+    # adapt rho only while the iterate is genuinely unconverged: at a
+    # (warm-started) near-optimal point both relative residuals are fp
+    # noise and their RATIO is meaningless — ungated, the sqrt(prim/dual)
+    # rule random-walks rho into the rho_min absorbing state across carried
+    # ticks, where a 25-iteration warm segment no longer contracts
+    # (measured: standing rollout forces decay 36.8 N -> 3 N in 20 ticks,
+    # then oscillating divergence). OSQP never hits this because it
+    # terminates on convergence instead of iterating past it.
+    adapt_tol: float = 1e-5
     polish: bool = True
     polish_rho: float = 1e3     # AL penalty (x |P|) for the polish solves
     polish_iters: int = 2
@@ -175,21 +184,26 @@ def _schulz_iterate_balanced(m_b, s, iters, x0=None):
         inner = jnp.matmul(m_b, x0_b, precision=hi)
         # Basin test on the spectral SIGNATURE of the step's own inner
         # product M_b X_b (elementwise only, no extra matmul): strictly
-        # positive diagonal and row sums < 1.9. This accepts both the
-        # normal warm cadence (inner ~ I: any norm bound ||I - inner||
-        # < 0.9 implies this signature) AND a partially converged inverse
-        # from our own lineage (e.g. rebuilt cold after a contact flip),
-        # whose rho(I - M_b X_b) < 1 but norm ~ 1 - 2/cond — NO norm
-        # bound can accept it, and rejecting it froze the warm path in
-        # per-tick cold restarts forever (the 1-step-from-cold inverse
-        # can never pass a norm test; measured: residual bit-frozen at
-        # 0.44 over ticks). With the signature test a fallback heals
-        # quadratically across ticks (0.44 -> 0.21 -> 0.05 -> 4e-3).
-        # A false accept (adversarial indefinite x0 passing the
-        # signature) diverges into the solver's non-finite latch.
+        # positive diagonal and row sums < 3.0. This accepts the normal
+        # warm cadence (inner ~ I), a partially converged inverse from our
+        # own lineage (e.g. rebuilt cold after a contact flip), whose
+        # rho(I - M_b X_b) < 1 but norm ~ 1 - 2/cond — NO norm bound can
+        # accept it, and rejecting it froze the warm path in per-tick cold
+        # restarts forever (the 1-step-from-cold inverse can never pass a
+        # norm test; measured: residual bit-frozen at 0.44 over ticks) —
+        # AND a drift-perturbed good inverse: for the walking controller's
+        # cond~700 KKTs, E = dM_b X_b from a per-tick drift of only 4e-3
+        # has DIFFUSE rows whose 1-norms reach ~1 while the spectral
+        # radius stays tiny (Schulz re-converges in 2 steps); a 1.9 row
+        # bound sat exactly on that cliff and stochastically rejected a
+        # resid-1e-6 inverse every few ticks, each rejection costing ~4
+        # garbage-solve ticks at short refine schedules (measured walking
+        # limit cycle: heal 0.96 -> 1e-6 -> reject -> 0.96). A false
+        # accept (adversarial indefinite x0 passing the signature)
+        # diverges into the solver's non-finite latch.
         row_inner = jnp.sum(jnp.abs(inner), axis=-1)
         d = jnp.diagonal(inner)
-        ok = (jnp.min(d) > 1e-4) & (jnp.max(row_inner) < 1.9)
+        ok = (jnp.min(d) > 1e-4) & (jnp.max(row_inner) < 3.0)
         if iters == 0:
             x = jnp.where(ok, x0_b, cold)
         else:
@@ -334,6 +348,9 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
         factor = jnp.clip(factor, 1e-2, 1e2)
         factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
+        # freeze rho once converged (see adapt_tol)
+        factor = jnp.where(jnp.maximum(prim, dual) > settings.adapt_tol,
+                           factor, 1.0)
         rho_new = jnp.clip(rho * factor, settings.rho_min, settings.rho_max)
         return (x, z, y, rho_new), minv, rho
 
@@ -346,6 +363,12 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         carry, minv, rho_of_minv = segment(carry, minv, rho_of_minv)
     x, z, y, rho = carry
 
+    # polish/refine are POST-processes on the returned solution; the warm
+    # carry keeps the raw ADMM iterates, exactly like OSQP's polish never
+    # overwrites the workspace iterates it warm-starts from (polish zeroes
+    # inactive duals — restarting ADMM from those re-pays the dual search,
+    # measured as a 10x warm-tick tracking lag on post-transition ticks)
+    x_admm, y_admm = x, y
     if settings.polish:
         x, y = _polish(pbar, qbar, lb, ub, lb_f, ub_f, eq, matvec, rmatvec,
                        rmatvec_dense, x, y, settings, minv)
@@ -385,7 +408,17 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         n = x.shape[-1]
         minv_out = (minv if minv is not None
                     else jnp.eye(n, dtype=x.dtype))
-        return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv_out)
+        if minv is not None:
+            # the carried inverse must correspond to the carried rho: the
+            # last segment's factorization was built at rho_of_minv, but
+            # the final adaptation may have moved rho — rescale by the
+            # ratio (valid where the constraint term dominates; the warm
+            # path's Schulz safeguard absorbs the rest), mirroring the
+            # inter-segment rescale above
+            minv_out = minv_out * (rho_of_minv / rho)
+        x_c = jnp.where(finite, x_admm, jnp.zeros_like(x_admm))
+        y_c = jnp.where(finite, y_admm / cost, jnp.zeros_like(y_admm))
+        return sol, WarmState(x=x_c, y=y_c, rho=rho, minv=minv_out)
     return sol
 
 
@@ -588,6 +621,55 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
 
 
 @f32_matmuls
+def warm_basin_ok(lazy, warm, settings, mu=None):
+    """Cheap health probe: will the fused warm tick's Schulz safeguard
+    accept the carried KKT inverse against THIS tick's KKT?
+
+    Lets the controller route genuinely stale carries (contact flips it
+    didn't see, post-latch garbage, large state jumps) to a full cold
+    solve instead of solve_warm_fused's short-schedule fallback, which
+    cannot converge a cold init and would emit several garbage-GRF ticks
+    (the reference's equivalent is re-running initSolver when the OSQP
+    workspace is invalidated). Costs one fused KKT build + one (n, n)
+    matmul. Same acceptance signature as the in-solver safeguard.
+
+    Returns:
+      () bool — True when the carry is refinable.
+    """
+    from go1_qp_mpc_controller_tpu.config import params as P
+    mu = P.MPC_MU if mu is None else mu
+    eq = jnp.isclose(lazy.lb, lazy.ub)
+    rho_vec = jnp.where(eq, warm.rho * settings.rho_eq_scale, warm.rho)
+    m_b, s, _ = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
+    x0_b = warm.minv / (s[:, None] * s[None, :])
+    inner = jnp.matmul(m_b, x0_b, precision=jax.lax.Precision.HIGHEST)
+    row_inner = jnp.sum(jnp.abs(inner), axis=-1)
+    d = jnp.diagonal(inner)
+    return (jnp.all(jnp.isfinite(inner)) & (jnp.min(d) > 1e-4)
+            & (jnp.max(row_inner) < 3.0))
+
+
+def _fused_balanced_kkt(lazy, rho_vec, sigma, mu):
+    """Jacobi-balanced KKT of a LazyCondensedQP in one fused output pass.
+
+    Returns (m_b, s, cost): the balanced KKT, the balancing scale, and the
+    cost normalization (see solve_warm_fused).
+    """
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    dtype = lazy.gradient.dtype
+    n = lazy.gradient.shape[-1]
+    hess = srb_mod.lazy_hessian(lazy)
+    cost = 1.0 / jnp.maximum(jnp.max(jnp.abs(hess)), 1e-12)
+    main, off1, off2 = _pyramid_band_diags(rho_vec, mu)
+    h_diag = srb_mod.lazy_hessian_diag(lazy)
+    s = jax.lax.rsqrt(cost * h_diag + main + sigma)
+    band = _band_expr(main, off1, off2, sigma, n, dtype)
+    m_b = (cost * hess + band) * s[:, None] * s[None, :]
+    return m_b, s, cost
+
+
+@f32_matmuls
 def solve_warm_fused(lazy, warm, settings, mu):
     """Warm tick over a LazyCondensedQP: the Hessian is NEVER materialized.
 
@@ -601,10 +683,7 @@ def solve_warm_fused(lazy, warm, settings, mu):
     from go1_qp_mpc_controller_tpu.models import srb as srb_mod
 
     dtype = lazy.gradient.dtype
-    n = lazy.gradient.shape[-1]
     hess = lambda: srb_mod.lazy_hessian(lazy)   # re-fused per consumer
-    cost = 1.0 / jnp.maximum(jnp.max(jnp.abs(hess())), 1e-12)
-    qbar = cost * lazy.gradient
     eq = jnp.isclose(lazy.lb, lazy.ub)
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
     lb_f = jnp.maximum(lazy.lb, -big)
@@ -615,11 +694,8 @@ def solve_warm_fused(lazy, warm, settings, mu):
 
     rho = warm.rho
     rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
-    main, off1, off2 = _pyramid_band_diags(rho_vec, mu)
-    h_diag = srb_mod.lazy_hessian_diag(lazy)
-    s = jax.lax.rsqrt(cost * h_diag + main + settings.sigma)
-    band = _band_expr(main, off1, off2, settings.sigma, n, dtype)
-    m_b = (cost * hess() + band) * s[:, None] * s[None, :]
+    m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
+    qbar = cost * lazy.gradient
     minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
                                     warm.minv)
     return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f, ub_f,

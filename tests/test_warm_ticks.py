@@ -80,6 +80,69 @@ def test_warm_tick_batch_consistency():
                                    np.asarray(single.x), atol=1e-3)
 
 
+def test_production_warm_path_tracks_cold_in_closed_loop():
+    """The controller's default warm path (WarmState carry + fused lazy
+    solve + basin-gated cold transitions, ctrl/controller.py
+    compute_grf_mpc) produces the same GRFs as cold-solving every tick,
+    evaluated teacher-forced at identical states through a walking
+    rollout with gait transitions (A1RobotControl.cpp:522-540 cadence)."""
+    import jax
+
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.envs import rollout, srb_sim
+    from go1_qp_mpc_controller_tpu.models import types
+
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    carry = rollout.init_carry(model, params, height=0.3, dtype=DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    settings = admm.ADMMSettings(seg_iters=25, segments=3)
+    vel = jnp.asarray([0.3, 0.0, 0.0], DTYPE)
+
+    def tick(c, i):
+        ctrl, sim = c.ctrl, c.sim
+        walk = i >= 50
+        ctrl = ctrl._replace(
+            movement_mode=jnp.where(walk, 1, 0).astype(jnp.int32),
+            root_lin_vel_d=jnp.where(walk, vel, jnp.zeros(3, DTYPE)))
+        sensors = srb_sim.read_sensors(sim, model, ctrl.contacts,
+                                       c.stance_forces_z, dt)
+        ctrl = controller.sensor_update(ctrl, model, sensors, dt,
+                                        estimate=False)
+        ctrl = ctrl._replace(root_pos=sim.root_pos,
+                             root_lin_vel=sim.root_lin_vel)
+        warm = controller.control_step(ctrl, model, params, dt,
+                                       settings=settings,
+                                       use_terrain_adapt=False)
+        cold = controller.control_step(ctrl, model, params, dt,
+                                       settings=settings,
+                                       use_terrain_adapt=False,
+                                       warm_settings=None)
+        sim2, fz = srb_sim.step(sim, model, warm.joint_torques,
+                                warm.contacts,
+                                warm.foot_pos_target_last_time, dt)
+        diff = jnp.max(jnp.abs(warm.foot_forces_grf
+                               - cold.foot_forces_grf))
+        return (rollout.RolloutCarry(ctrl=warm, sim=sim2,
+                                     stance_forces_z=fz), diff)
+
+    _, diffs = jax.jit(
+        lambda c: jax.lax.scan(tick, c, jnp.arange(400)))(carry)
+    diffs = np.asarray(diffs)
+    # warm path tracks the cold solutions on the applied forces: sub-N on
+    # the typical tick. The tail is the gait-transition transient: the
+    # 1-2 all-stance ticks at each trot hand-off pose a semi-degenerate
+    # 4-leg load-distribution QP that NO fixed budget solves tightly
+    # (measured: even 320 banded-rho iterations leave ~5 N vs the
+    # KKT-certified oracle; the reference's OSQP pays the same character
+    # of cost by iterating to tolerance) — bounded here and with no
+    # closed-loop effect (height holds to mm, test_walking.py).
+    assert np.isfinite(diffs).all()
+    assert np.median(diffs) < 0.5, np.median(diffs)
+    assert np.percentile(diffs, 95) < 10.0, np.percentile(diffs, 95)
+    assert diffs.max() < 40.0, diffs.max()
+
+
 def test_fused_lazy_warm_tick_matches_regular():
     """solve_warm_fused (unmaterialized-Hessian KKT build) is algebraically
     identical to solve_warm + condense_nilpotent_const: in float64 the two
