@@ -221,6 +221,27 @@ def _complementarity(cx, y, lb, ub):
     return np.max(np.abs(y) * gap)
 
 
+def averaged_euler(root_euler, root_ang_vel_d, dt):
+    """Horizon-mean euler linearization point (test/test_mpc.cpp:93-101)."""
+    return (2.0 * np.asarray(root_euler)
+            + np.asarray(root_ang_vel_d) * dt * H) / (H + 1.0)
+
+
+def receding_b_d_list(mass, trunk_inertia, root_rot_mat, foot_pos, vel_d,
+                      dt):
+    """Per-step B_d with receding foot positions, as the reference loop
+    writes it (test/test_mpc.cpp:105-122): B_c is computed from the current
+    positions, THEN the positions recede by v_d * dt — so step i uses
+    foot_pos - i * v_d * dt."""
+    b_d_list = []
+    fp = np.asarray(foot_pos, np.float64).copy()
+    for _ in range(H):
+        b_c = calculate_B_c(mass, trunk_inertia, root_rot_mat, fp)
+        b_d_list.append(b_c * dt)
+        fp = fp - np.asarray(vel_d)[None, :] * dt
+    return np.stack(b_d_list)
+
+
 # --------------------------- fixture --------------------------------------
 
 def test_mpc_fixture():

@@ -39,8 +39,15 @@ def available_presets():
                   if p.endswith(".yaml"))
 
 
-def load_preset(name, dtype=jnp.float32, mpc_dt=None):
+def load_preset(name, dtype=jnp.float32, mpc_dt=None, control_dt=0.002):
     """Load a preset by name (e.g. "gazebo_mpc").
+
+    Args:
+      mpc_dt: explicit MPC discretization step; None selects the
+        reference's rule (A1RobotControl.cpp:458-467): hardware uses the
+        fixed 2.5 ms budget (a slowed thread must not inflate dt and
+        overshoot forces), simulation uses the control-thread dt.
+      control_dt: the host control-loop period, consumed by the sim rule.
 
     Returns:
       (RobotModel, CtrlParams, StaticConfig).
@@ -70,7 +77,7 @@ def load_preset(name, dtype=jnp.float32, mpc_dt=None):
     if mpc_dt is None:
         # hardware uses the fixed 2.5 ms dt; sim uses the thread dt
         # (A1RobotControl.cpp:458-467)
-        mpc_dt = 0.0025
+        mpc_dt = control_dt if use_sim else 0.0025
     base = types.default_ctrl_params(dtype)
     params = base._replace(
         q_weights=jnp.asarray(cfg["mpc"]["q_weights"], dtype),

@@ -44,6 +44,51 @@ class JoyAxes(NamedTuple):
     exit: jnp.ndarray        # bool
 
 
+def axes_from_raw(raw_axes, raw_buttons):
+    """Map a raw /joy sample (8 axes, >=5 buttons) to scaled JoyAxes.
+
+    The reference's joy_callback axis assignment
+    (src/a1_cpp/src/GazeboA1ROS.cpp:391-415): left-stick vertical (axis 1)
+    scales body-height rate, right-stick vertical (4) forward velocity,
+    right-stick horizontal (3) lateral velocity, left-stick horizontal (0)
+    yaw rate, d-pad vertical (7) pitch rate, d-pad horizontal (6) roll
+    rate; button 0 (A) requests the stand/walk toggle, button 4 (LB)
+    requests exit. Raw axes are in [-1, 1] so the scaled values are
+    already inside the A1Params limits; :func:`clamp_axes` stays the
+    guard for non-joystick callers.
+
+    Args:
+      raw_axes: (8,) float axes as published by the joy driver.
+      raw_buttons: (>=5,) int/bool buttons.
+
+    Returns:
+      JoyAxes.
+    """
+    return JoyAxes(
+        velx=raw_axes[4] * P.JOY_CMD_VELX_MAX,
+        vely=raw_axes[3] * P.JOY_CMD_VELY_MAX,
+        velz=raw_axes[1] * P.JOY_CMD_BODY_HEIGHT_VEL,
+        yaw_rate=raw_axes[0] * P.JOY_CMD_YAW_MAX,
+        pitch_rate=raw_axes[7] * P.JOY_CMD_PITCH_MAX,
+        roll_rate=raw_axes[6] * P.JOY_CMD_ROLL_MAX,
+        toggle=raw_buttons[0] != 0,
+        exit=raw_buttons[4] != 0)
+
+
+def latch_buttons(joy, axes):
+    """Latch the button-edge requests of one joy sample into JoyState.
+
+    The reference's joy_callback sets joy_cmd_ctrl_state_change_request /
+    joy_cmd_exit that a later main_update consumes and clears
+    (GazeboA1ROS.cpp:396-398, 411-415) — callbacks may fire many times
+    between control ticks, so the request is an OR-latch, not the last
+    sample.
+    """
+    return joy._replace(
+        toggle_request=joy.toggle_request | axes.toggle,
+        exit_request=joy.exit_request | axes.exit)
+
+
 def init_joy_state(height=0.3, dtype=jnp.float32):
     return JoyState(
         body_height=jnp.asarray(height, dtype),

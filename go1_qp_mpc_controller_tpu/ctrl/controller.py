@@ -124,7 +124,7 @@ def sensor_update(state, model, sensors, dt, estimate=True):
 
 def compute_grf_mpc(state, model, params,
                     settings=admm.ADMMSettings(), use_terrain_adapt=True,
-                    warm_settings=WARM_SETTINGS):
+                    warm_settings=WARM_SETTINGS, receding_horizon=False):
     """Horizon-10 condensed MPC solve (A1RobotControl.cpp:446-561).
 
     Runs the persistent warm-started solver pattern the reference uses (one
@@ -144,6 +144,14 @@ def compute_grf_mpc(state, model, params,
       warm_settings: ADMMSettings for steady-state warm ticks, or None to
         solve cold every tick (legacy path; ``settings`` then applies to
         every solve, warm-started with primal/dual only).
+      receding_horizon: static flag selecting the averaged-euler A_c +
+        receding-foot-position condensation variant the reference
+        demonstrates (test/test_mpc.cpp:93-122; commented-out in
+        A1RobotControl.cpp:505-509): A_c is linearized at the horizon-mean
+        euler and each step's B uses foot positions displaced by
+        -i v_d dt. Per-step B breaks the constant-B_d factorization the
+        fused warm path needs, so this variant solves cold every tick
+        with primal/dual warm starts (warm_settings is ignored).
     """
     state = terrain.terrain_adaptation(state, use_terrain_adapt)
 
@@ -155,7 +163,12 @@ def compute_grf_mpc(state, model, params,
         state.root_euler_d, state.root_ang_vel_d, vel_d_world,
         params.mpc_dt)
 
-    a_c = srb.calculate_A_c(state.root_euler)
+    if receding_horizon:
+        euler_lin = srb.averaged_euler(state.root_euler,
+                                       state.root_ang_vel_d, params.mpc_dt)
+    else:
+        euler_lin = state.root_euler
+    a_c = srb.calculate_A_c(euler_lin)
     # Swing-leg forces are pinned to ZERO by the friction-pyramid rows
     # (contact=0 makes the fz row an equality and the four fx/fy rows then
     # sandwich those to 0), so swing columns of B never influence the
@@ -170,6 +183,22 @@ def compute_grf_mpc(state, model, params,
     # (test_mpc.cpp:105-122: future steps use predicted footholds).
     foot_pos_mpc = jnp.where(state.contacts[:, None], state.foot_pos_abs,
                              state.foot_pos_target_abs)
+
+    if receding_horizon:
+        a_d = jnp.eye(srb.NX, dtype=a_c.dtype) + a_c * params.mpc_dt
+        b_d_list = srb.receding_b_d_list(
+            model.mass, model.trunk_inertia, state.root_rot_mat,
+            foot_pos_mpc, vel_d_world, params.mpc_dt)
+        qp = srb.condense_nilpotent(a_d, b_d_list, x0, x_ref,
+                                    params.q_weights, params.r_weights,
+                                    state.contacts)
+        sol = admm.mpc_solve(qp, settings, warm_x=state.qp_warm_x,
+                             warm_y=state.qp_warm_y)
+        warm_out = admm.WarmState(x=sol.x, y=sol.y, rho=state.qp_warm_rho,
+                                  minv=state.qp_warm_minv)
+        return _finish_grf(state, sol.x, warm_out,
+                           grad_carry=state.qp_warm_grad)
+
     b_c = srb.calculate_B_c(model.mass, model.trunk_inertia,
                             state.root_rot_mat, foot_pos_mpc)
     a_d, b_d = srb.discretize(a_c, b_c, params.mpc_dt)
@@ -236,6 +265,11 @@ def compute_grf_mpc(state, model, params,
                                        warm_branch, lazy, warm_in)
 
     grf_x = sol.x if warm_settings is None else x_sol
+    return _finish_grf(state, grf_x, warm_out, grad_carry=lazy.gradient)
+
+
+def _finish_grf(state, grf_x, warm_out, grad_carry):
+    """Shared GRF-solve tail: frame rotation, NaN guard, warm-carry commit."""
     grf_world = grf_x[:12].reshape(4, 3)
     grf_body = grf_world @ state.root_rot_mat    # R^T f per leg
     # NaN guard per leg (A1RobotControl.cpp:558-561)
@@ -256,7 +290,7 @@ def compute_grf_mpc(state, model, params,
         # the next tick re-evaluates the transition test against it
         qp_warm_contacts=jnp.where(any_bad, state.qp_warm_contacts,
                                    state.contacts),
-        qp_warm_grad=jnp.where(any_bad, state.qp_warm_grad, lazy.gradient))
+        qp_warm_grad=jnp.where(any_bad, state.qp_warm_grad, grad_carry))
 
 
 def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
@@ -273,7 +307,7 @@ def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
 
 def control_step(state, model, params, dt, solver_type=MPC,
                  settings=admm.ADMMSettings(), use_terrain_adapt=True,
-                 warm_settings=WARM_SETTINGS):
+                 warm_settings=WARM_SETTINGS, receding_horizon=False):
     """One full controller tick; returns updated CtrlState (incl. torques).
 
     Fuses the reference's two-thread pipeline into one jitted program:
@@ -286,7 +320,8 @@ def control_step(state, model, params, dt, solver_type=MPC,
     state = swing.generate_swing_legs_ctrl(state, params, dt)
     if solver_type == MPC:
         state = compute_grf_mpc(state, model, params, settings,
-                                use_terrain_adapt, warm_settings)
+                                use_terrain_adapt, warm_settings,
+                                receding_horizon)
     else:
         state = compute_grf_qp(state, model, params, settings)
     state = torque.compute_joint_torques(state, params)

@@ -536,6 +536,50 @@ def constraint_matrix_dense(mu=P.MPC_MU, dtype=np.float64):
     return c
 
 
+def averaged_euler(root_euler, root_ang_vel_d, dt):
+    """Horizon-averaged euler angles for the A_c linearization.
+
+    The reference's test_mpc demonstrates linearizing A_c at the AVERAGE
+    euler over the reference trajectory instead of the current one
+    (test/test_mpc.cpp:93-101): avg = (2 e + w_d dt H) / (H + 1) — the mean
+    of the endpoints of a constant-rate ramp, weighted as the reference
+    writes it.
+    """
+    return (2.0 * root_euler + root_ang_vel_d * dt * H) / (H + 1.0)
+
+
+def receding_b_d_list(mass, trunk_inertia, root_rot_mat, foot_pos,
+                      vel_d_world, dt):
+    """Per-step discrete B with foot positions receding by the commanded
+    velocity over the horizon.
+
+    The reference's test_mpc builds B_c for step i from foot positions
+    displaced by -i * v_d * dt (test/test_mpc.cpp:105-122: B_c is computed
+    BEFORE the subtraction, so step 0 uses the current positions) — the
+    body walks forward through the horizon, so the lever arms walk
+    backward. A1RobotControl carries the same variant commented out
+    (A1RobotControl.cpp:505-509). The recession direction here is the
+    WORLD-frame desired velocity (foot_pos lives in the world-aligned
+    frame); the reference's fixture uses identity rotation where body and
+    world frames coincide.
+
+    Args:
+      foot_pos: (4, 3) current foot positions relative to CoM.
+      vel_d_world: (3,) desired world-frame root velocity.
+      dt: () MPC discretization step.
+
+    Returns:
+      (H, 13, 12) per-step B_d.
+    """
+    steps = jnp.arange(H, dtype=foot_pos.dtype)
+    fp_steps = (foot_pos[None, :, :]
+                - steps[:, None, None] * vel_d_world[None, None, :] * dt)
+    b_c = jax.vmap(
+        lambda fp: calculate_B_c(mass, trunk_inertia, root_rot_mat, fp)
+    )(fp_steps)
+    return b_c * dt
+
+
 def reference_trajectory(root_pos, root_euler, root_pos_d, root_euler_d,
                          root_ang_vel_d, root_lin_vel_d_world, mpc_dt,
                          gravity=P.GRAVITY):

@@ -72,7 +72,7 @@ class ADMMSettings(NamedTuple):
     # float64 terminal refinement: float32 inputs floor at ~2e-2 N on the
     # r_weights~1e-6 flat directions (fp noise / curvature); one masked
     # active-set solve in emulated f64 recovers strict 1e-3 parity.
-    # Requires jax x64 to be enabled; silently inert otherwise.
+    # Requires jax x64 to be enabled; raises at trace time otherwise.
     refine_f64: bool = False
     kkt_solver: str = "schulz"
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
@@ -375,7 +375,15 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         z = jnp.clip(matvec(x), lb_f, ub_f)
 
     if settings.refine_f64 and dtype != jnp.float64:
-        if jnp.zeros((), "float64").dtype == jnp.dtype("float64"):  # x64 on
+        if jnp.zeros((), "float64").dtype != jnp.dtype("float64"):
+            # jax silently downcasts f64 arrays when x64 is off, which
+            # would turn the "strict 1e-3 parity" refinement into a no-op
+            # that reports success — fail loudly instead (trace time)
+            raise RuntimeError(
+                "ADMMSettings.refine_f64 requires jax x64 "
+                "(jax.config.update('jax_enable_x64', True)); without it "
+                "the float64 refinement would silently run in float32")
+        else:
             x64, y64 = _polish(
                 pbar.astype(jnp.float64), qbar.astype(jnp.float64),
                 lb.astype(jnp.float64), ub.astype(jnp.float64),

@@ -87,6 +87,19 @@ def test_jax_admm_f32_with_f64_refinement_hits_parity():
     assert err < 1e-3, f"f32+refine GRF error = {err}"
 
 
+def test_refine_f64_raises_without_x64():
+    """refine_f64 must fail loudly when jax x64 is off — a silent float32
+    fallback would report the strict-parity refinement as done when it
+    never ran (default TPU deployments disable x64)."""
+    qp_jax = _fixture_jax_qp(jnp.float32)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(RuntimeError, match="refine_f64 requires"):
+            admm.mpc_solve(qp_jax, admm.ADMMSettings(refine_f64=True))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_warm_start_converges_faster():
     qp_jax = _fixture_jax_qp()
     cold = admm.mpc_solve(qp_jax, admm.ADMMSettings())

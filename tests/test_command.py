@@ -33,6 +33,43 @@ def test_axes_clamped_to_limits():
     assert float(axes.yaw_rate) == P.JOY_CMD_YAW_MAX
 
 
+def test_axes_from_raw_mapping():
+    """Raw /joy axis assignment (GazeboA1ROS.cpp:391-415): axis 4 -> velx,
+    3 -> vely, 1 -> velz, 0 -> yaw, 7 -> pitch, 6 -> roll; A toggles, LB
+    exits."""
+    raw = np.zeros(8)
+    raw[4], raw[3], raw[1] = 0.5, -1.0, 0.25
+    raw[0], raw[7], raw[6] = -0.5, 1.0, -1.0
+    buttons = np.array([1, 0, 0, 0, 0])
+    axes = command.axes_from_raw(jnp.asarray(raw), jnp.asarray(buttons))
+    np.testing.assert_allclose(float(axes.velx), 0.5 * P.JOY_CMD_VELX_MAX)
+    np.testing.assert_allclose(float(axes.vely), -P.JOY_CMD_VELY_MAX)
+    np.testing.assert_allclose(float(axes.velz),
+                               0.25 * P.JOY_CMD_BODY_HEIGHT_VEL)
+    np.testing.assert_allclose(float(axes.yaw_rate),
+                               -0.5 * P.JOY_CMD_YAW_MAX)
+    np.testing.assert_allclose(float(axes.pitch_rate), P.JOY_CMD_PITCH_MAX)
+    np.testing.assert_allclose(float(axes.roll_rate), -P.JOY_CMD_ROLL_MAX)
+    assert bool(axes.toggle) and not bool(axes.exit)
+
+    buttons = np.array([0, 0, 0, 0, 1])
+    axes = command.axes_from_raw(jnp.asarray(raw), jnp.asarray(buttons))
+    assert not bool(axes.toggle) and bool(axes.exit)
+
+
+def test_latch_buttons_or_semantics():
+    """Button requests latch across samples until apply_commands clears
+    them (joy_cmd_ctrl_state_change_request semantics)."""
+    joy, ctrl, params = _setup()
+    joy = command.latch_buttons(joy, _axes(toggle=True))
+    joy = command.latch_buttons(joy, _axes())   # later sample: no press
+    assert bool(joy.toggle_request)
+    joy, ctrl, params = command.apply_commands(joy, _axes(), ctrl, params,
+                                               jnp.asarray(0.01, DTYPE))
+    assert not bool(joy.toggle_request)     # consumed and cleared
+    assert int(joy.ctrl_state) == 1         # toggle took effect
+
+
 def test_height_integration_and_clamp():
     joy, ctrl, params = _setup()
     dt = jnp.asarray(0.01, DTYPE)

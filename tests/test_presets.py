@@ -52,6 +52,19 @@ def test_qp_preset_has_balance_gains():
                                [150.0, 150.0, 1.0])
 
 
+def test_mpc_dt_rule():
+    """Sim presets discretize at the control dt, hardware at the fixed
+    2.5 ms budget (A1RobotControl.cpp:458-467); explicit override wins."""
+    _, params, _ = presets.load_preset("gazebo_mpc", control_dt=0.004)
+    np.testing.assert_allclose(float(params.mpc_dt), 0.004)
+    _, params, _ = presets.load_preset("isaac_mpc")
+    np.testing.assert_allclose(float(params.mpc_dt), 0.002)
+    _, params, _ = presets.load_preset("hardware_mpc", control_dt=0.004)
+    np.testing.assert_allclose(float(params.mpc_dt), 0.0025)
+    _, params, _ = presets.load_preset("hardware_mpc", mpc_dt=0.01)
+    np.testing.assert_allclose(float(params.mpc_dt), 0.01)
+
+
 def test_isaac_geometry_differs():
     model, _, static = presets.load_preset("isaac_mpc")
     assert static.environment == "isaac"

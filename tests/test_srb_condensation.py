@@ -198,3 +198,105 @@ def test_condense_nilpotent_const_matches_general():
                                np.asarray(qp1.lb)[finite])
     np.testing.assert_allclose(np.asarray(qp2.ub)[finite],
                                np.asarray(qp1.ub)[finite])
+
+
+def test_receding_averaged_euler_variant_nonzero_velocity():
+    """The averaged-euler A_c + receding-foot condensation variant
+    (test/test_mpc.cpp:93-122) under NONZERO velocity, where it genuinely
+    differs from the constant-B_d path: per-step B_d, condensed QP, and
+    solved GRFs all match the oracle."""
+    from go1_qp_mpc_controller_tpu.ops import admm
+    from go1_qp_mpc_controller_tpu.utils import rotations
+
+    mass = 14.0
+    inertia = np.diag([0.016, 0.064, 0.074])
+    root_euler = np.array([0.03, -0.05, 0.3])
+    rot = np.asarray(rotations.euler_to_rot_mat(
+        jnp.asarray(root_euler, jnp.float64)))
+    root_pos = np.array([0.4, -0.1, 0.3])
+    foot_pos = np.array([[0.17, 0.15, -0.3], [0.17, -0.15, -0.3],
+                         [-0.17, 0.15, -0.3], [-0.17, -0.15, -0.3]])
+    contacts = np.array([1.0, 0.0, 0.0, 1.0])
+    dt = 0.0025
+    vel_d = np.array([0.5, 0.1, 0.0])
+    ang_vel_d = np.array([0.0, 0.0, 0.4])
+    q_weights = np.array([20.0, 10.0, 1.0, 0.0, 0.0, 420.0,
+                          0.05, 0.05, 0.05, 30.0, 30.0, 10.0, 0.0])
+    r_weights = np.full(12, 1e-6)
+    x0 = np.concatenate([root_euler, root_pos, [0.0, 0.0, 0.35],
+                         [0.45, 0.08, 0.0], [-9.8]])
+
+    # --- per-step B_d parity -------------------------------------------
+    b_ref = oracle.receding_b_d_list(mass, inertia, rot, foot_pos, vel_d,
+                                     dt)
+    b_jax = srb.receding_b_d_list(
+        jnp.asarray(mass, jnp.float64), jnp.asarray(inertia, jnp.float64),
+        jnp.asarray(rot, jnp.float64), jnp.asarray(foot_pos, jnp.float64),
+        jnp.asarray(vel_d, jnp.float64), jnp.asarray(dt, jnp.float64))
+    np.testing.assert_allclose(np.asarray(b_jax), b_ref, atol=1e-13)
+    # the recession must matter: step 9 differs from step 0
+    assert np.abs(b_ref[9] - b_ref[0]).max() > 1e-5
+
+    # --- averaged-euler linearization point ----------------------------
+    e_avg_ref = oracle.averaged_euler(root_euler, ang_vel_d, dt)
+    e_avg = srb.averaged_euler(jnp.asarray(root_euler, jnp.float64),
+                               jnp.asarray(ang_vel_d, jnp.float64),
+                               jnp.asarray(dt, jnp.float64))
+    np.testing.assert_allclose(np.asarray(e_avg), e_avg_ref, atol=1e-14)
+    assert abs(e_avg_ref[2] - root_euler[2]) > 1e-4  # actually averaged
+
+    a_c = oracle.calculate_A_c(e_avg_ref)
+    a_d, _ = oracle.discretize(a_c, np.zeros((13, 12)), dt)
+
+    # simple constant-velocity reference trajectory
+    x_ref = np.tile(x0, 10).reshape(10, 13).copy()
+    for i in range(10):
+        x_ref[i, 3:5] += vel_d[:2] * dt * (i + 1)
+        x_ref[i, 2] += ang_vel_d[2] * dt * (i + 1)
+        x_ref[i, 9:12] = vel_d
+        x_ref[i, 6:9] = ang_vel_d
+
+    qp_ref = oracle.condense(a_d, b_ref, x0, x_ref.reshape(-1), q_weights,
+                             r_weights, contacts)
+    qp = srb.condense_nilpotent(
+        jnp.asarray(a_d), jnp.asarray(b_ref), jnp.asarray(x0),
+        jnp.asarray(x_ref), jnp.asarray(q_weights),
+        jnp.asarray(r_weights), jnp.asarray(contacts))
+    np.testing.assert_allclose(np.asarray(qp.hessian), qp_ref.hessian,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qp.gradient), qp_ref.gradient,
+                               atol=1e-9)
+
+    # --- solved GRFs hit the 1e-3 parity budget -------------------------
+    x_star, _, _ = oracle.solve_qp(qp_ref)
+    sol = admm.mpc_solve(qp, admm.ADMMSettings())
+    err = np.abs(np.asarray(sol.x[:12]) - x_star[:12]).max()
+    assert err < 1e-3, f"receding-variant GRF error vs oracle = {err}"
+
+
+def test_controller_receding_horizon_option():
+    """control_step(receding_horizon=True) runs end-to-end and pins swing
+    forces to zero like the constant variant."""
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.models import types
+
+    dtype = jnp.float64
+    model = types.default_robot_model(dtype)
+    params = types.default_ctrl_params(dtype)
+    state = types.init_ctrl_state(model, dtype)
+    state = state._replace(
+        movement_mode=jnp.asarray(1, jnp.int32),
+        root_lin_vel_d=jnp.asarray([0.4, 0.0, 0.0], dtype),
+        contacts=jnp.asarray([True, False, False, True]))
+    dt = jnp.asarray(0.002, dtype)
+    step = jax.jit(lambda s: controller.control_step(
+        s, model, params, dt, receding_horizon=True))
+    for _ in range(5):
+        state = step(state)
+    tau = np.asarray(state.joint_torques)
+    assert np.isfinite(tau).all()
+    grf = np.asarray(state.foot_forces_grf)
+    assert np.isfinite(grf).all()
+    # stance legs push up, swing legs carry ~zero force
+    assert grf[0, 2] > 10.0 and grf[3, 2] > 10.0
+    assert np.abs(grf[1]).max() < 1e-6 and np.abs(grf[2]).max() < 1e-6
