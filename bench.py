@@ -69,6 +69,86 @@ def _make_tick_fns(settings_cold, settings_warm):
     return cold, jax.jit(ticks, static_argnums=(3,))
 
 
+def _make_ctrl_bench(settings_cold, batch):
+    """Full controller-tick chain: sensors -> EKF -> plan -> swing ->
+    warm MPC -> torques -> SRB plant step (the reference's whole 0.5 ms
+    loop, MainGazebo.cpp:47-121, fused into one on-device scan).
+
+    Returns (init_batch, set_walk, perturb, chain_warm, chain_auto):
+    - chain_warm: warm_mode="warm" — the steady-cadence program a
+      production single-robot loop executes on non-transition ticks
+      (lax.cond takes only the warm branch unbatched; vmap would pay
+      both branches of a cond as a select, which no deployment does).
+    - chain_auto: warm_mode="auto" — the exact production program with
+      the transition cold-solve branch; under vmap every tick pays the
+      warm+cold blend. Used for the honest closed-loop walking metric
+      and for warming the carried KKT inverse.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.envs import rollout, srb_sim
+    from go1_qp_mpc_controller_tpu.models import types
+
+    dtype = jnp.float32
+    model = types.default_robot_model(dtype)
+    params = types.default_ctrl_params(dtype)
+    dt = jnp.asarray(0.002, dtype)
+
+    def tick(c, warm_mode):
+        sensors = srb_sim.read_sensors(c.sim, model, c.ctrl.contacts,
+                                       c.stance_forces_z, dt)
+        ctrl = controller.sensor_update(c.ctrl, model, sensors, dt)
+        # production warm schedule (controller.WARM_SETTINGS), cold
+        # transition solves with the bench cold settings
+        ctrl = controller.control_step(
+            ctrl, model, params, dt, settings=settings_cold,
+            warm_mode=warm_mode)
+        sim, fz = srb_sim.step(c.sim, model, ctrl.joint_torques,
+                               ctrl.contacts,
+                               ctrl.foot_pos_target_last_time, dt)
+        return (rollout.RolloutCarry(ctrl=ctrl, sim=sim,
+                                     stance_forces_z=fz),
+                ctrl.foot_forces_grf[0, 2])
+
+    def make_chain(warm_mode):
+        def chain(c, n):
+            def body(cc, _k):
+                return jax.vmap(lambda x: tick(x, warm_mode))(cc)
+            c, out = jax.lax.scan(body, c, jnp.arange(n))
+            return out, c
+        return jax.jit(chain, static_argnums=(1,))
+
+    def init_batch(key):
+        c = rollout.init_carry(model, params, height=0.3, dtype=dtype)
+        b = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape), c)
+        kz, kv = jax.random.split(key)
+        sim = b.sim._replace(
+            root_pos=b.sim.root_pos.at[:, 2].add(
+                0.01 * jax.random.normal(kz, (batch,), dtype)),
+            root_lin_vel=(b.sim.root_lin_vel
+                          + 0.02 * jax.random.normal(kv, (batch, 3),
+                                                     dtype)))
+        return b._replace(sim=sim)
+
+    def set_walk(c):
+        vel = jnp.broadcast_to(jnp.asarray([0.25, 0.0, 0.0], dtype),
+                               c.ctrl.root_lin_vel_d.shape)
+        ctrl = c.ctrl._replace(
+            movement_mode=jnp.ones_like(c.ctrl.movement_mode),
+            root_lin_vel_d=vel)
+        return c._replace(ctrl=ctrl)
+
+    def perturb(c, k):
+        sim = c.sim._replace(root_pos=c.sim.root_pos + 1e-4 * k)
+        return c._replace(sim=sim)
+
+    return (jax.jit(init_batch), jax.jit(set_walk), jax.jit(perturb),
+            make_chain("warm"), make_chain("auto"))
+
+
 def main():
     import os
 
@@ -160,6 +240,40 @@ def main():
     jax.block_until_ready(outs)
     warm_latency_ms = (time.perf_counter() - t0) / lat_reps * 1000.0
 
+    # --- full controller tick (VERDICT #2: sensor update + EKF + plan +
+    # swing + warm MPC + torques + plant, batch x 40-tick scan) -----------
+    ctrl_batch = 4096
+    ctrl_ticks = 40
+    (init_batch, set_walk, perturb_c,
+     chain_warm, chain_auto) = _make_ctrl_bench(settings_cold, ctrl_batch)
+    c0 = init_batch(jax.random.PRNGKey(2))
+    # 6 auto ticks warm the carried KKT inverse (first ticks route to the
+    # cold branch via the transition test, exactly like production)
+    _, c_warm = chain_auto(c0, 6)
+    jax.block_until_ready(c_warm.ctrl.qp_warm_minv)
+    c_reps = [perturb_c(c_warm, jnp.asarray(float(k + 1), dtype))
+              for k in range(reps)]
+    out, _ = chain_warm(c_warm, ctrl_ticks)
+    jax.block_until_ready((out, c_reps))
+    t0 = time.perf_counter()
+    outs = [chain_warm(c, ctrl_ticks)[0] for c in c_reps]
+    jax.block_until_ready(outs)
+    ctrl_elapsed = (time.perf_counter() - t0) / reps
+    ctrl_rate = ctrl_batch * ctrl_ticks / ctrl_elapsed
+
+    # --- closed-loop trot rollout (production auto program: vmap pays the
+    # warm+cold cond blend every tick; contact flips genuinely occur) -----
+    cw = set_walk(c_warm)
+    cw_reps = [perturb_c(cw, jnp.asarray(float(k + 1), dtype))
+               for k in range(reps)]
+    out, _ = chain_auto(cw, ctrl_ticks)
+    jax.block_until_ready((out, cw_reps))
+    t0 = time.perf_counter()
+    outs = [chain_auto(c, ctrl_ticks)[0] for c in cw_reps]
+    jax.block_until_ready(outs)
+    roll_elapsed = (time.perf_counter() - t0) / reps
+    roll_rate = ctrl_batch * ctrl_ticks / roll_elapsed
+
     # --- RL policy inference (context metric; R1/R3 stack) ---------------
     from go1_qp_mpc_controller_tpu.models import policy
 
@@ -190,6 +304,12 @@ def main():
         "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
         "warm_tick_latency_ms": round(warm_latency_ms, 3),
         "latency_budget_ms": 2.5,
+        "ctrl_ticks_per_s": round(ctrl_rate, 1),
+        "ctrl_tick_mode": ("full chain: sensors+EKF+plan+swing+warm MPC"
+                           "+torques+plant, steady warm cadence"),
+        "rollout_steps_per_s": round(roll_rate, 1),
+        "rollout_mode": ("closed-loop trot, production auto program "
+                         "(vmap pays warm+cold cond blend)"),
         "rl_policy_inferences_per_s": round(rl_rate, 1),
         "device": str(jax.devices()[0]),
     }

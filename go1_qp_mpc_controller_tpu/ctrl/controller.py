@@ -124,7 +124,8 @@ def sensor_update(state, model, sensors, dt, estimate=True):
 
 def compute_grf_mpc(state, model, params,
                     settings=admm.ADMMSettings(), use_terrain_adapt=True,
-                    warm_settings=WARM_SETTINGS, receding_horizon=False):
+                    warm_settings=WARM_SETTINGS, receding_horizon=False,
+                    warm_mode="auto"):
     """Horizon-10 condensed MPC solve (A1RobotControl.cpp:446-561).
 
     Runs the persistent warm-started solver pattern the reference uses (one
@@ -144,6 +145,14 @@ def compute_grf_mpc(state, model, params,
       warm_settings: ADMMSettings for steady-state warm ticks, or None to
         solve cold every tick (legacy path; ``settings`` then applies to
         every solve, warm-started with primal/dual only).
+      warm_mode: static. "auto" (default) routes transition ticks to a
+        cold solve under ``lax.cond`` — the production semantics; in the
+        unbatched loop only the taken branch executes. "warm" always takes
+        the fused warm tick (no transition test, no cold branch): for
+        BATCHED steady-cadence sweeps/benchmarks, where vmap turns the
+        cond into a select that pays both branches every tick regardless
+        of the predicate. Callers of "warm" own the cadence guarantees
+        (warmed carry, no contact flips).
       receding_horizon: static flag selecting the averaged-euler A_c +
         receding-foot-position condensation variant the reference
         demonstrates (test/test_mpc.cpp:93-122; commented-out in
@@ -261,8 +270,11 @@ def compute_grf_mpc(state, model, params,
             sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
             return sol.x, w
 
-        x_sol, warm_out = jax.lax.cond(transition, cold_branch,
-                                       warm_branch, lazy, warm_in)
+        if warm_mode == "warm":
+            x_sol, warm_out = warm_branch(lazy, warm_in)
+        else:
+            x_sol, warm_out = jax.lax.cond(transition, cold_branch,
+                                           warm_branch, lazy, warm_in)
 
     grf_x = sol.x if warm_settings is None else x_sol
     return _finish_grf(state, grf_x, warm_out, grad_carry=lazy.gradient)
@@ -307,7 +319,8 @@ def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
 
 def control_step(state, model, params, dt, solver_type=MPC,
                  settings=admm.ADMMSettings(), use_terrain_adapt=True,
-                 warm_settings=WARM_SETTINGS, receding_horizon=False):
+                 warm_settings=WARM_SETTINGS, receding_horizon=False,
+                 warm_mode="auto"):
     """One full controller tick; returns updated CtrlState (incl. torques).
 
     Fuses the reference's two-thread pipeline into one jitted program:
@@ -321,7 +334,7 @@ def control_step(state, model, params, dt, solver_type=MPC,
     if solver_type == MPC:
         state = compute_grf_mpc(state, model, params, settings,
                                 use_terrain_adapt, warm_settings,
-                                receding_horizon)
+                                receding_horizon, warm_mode)
     else:
         state = compute_grf_qp(state, model, params, settings)
     state = torque.compute_joint_torques(state, params)

@@ -63,7 +63,8 @@ def rollout(carry, model, params, num_steps, dt,
             solver_type=controller.MPC,
             settings=admm.ADMMSettings(),
             command_fn=None, estimate=True, use_terrain_adapt=True,
-            ground_coef=None, warm_settings=controller.WARM_SETTINGS):
+            ground_coef=None, warm_settings=controller.WARM_SETTINGS,
+            warm_mode="auto"):
     """Run ``num_steps`` closed-loop ticks; returns (carry, RolloutTrace).
 
     Args:
@@ -97,7 +98,7 @@ def rollout(carry, model, params, num_steps, dt,
         ctrl = controller.control_step(
             ctrl, model, params, dt, solver_type=solver_type,
             settings=settings, use_terrain_adapt=use_terrain_adapt,
-            warm_settings=warm_settings)
+            warm_settings=warm_settings, warm_mode=warm_mode)
 
         sim_new, forces_z = srb_sim.step(
             sim, model, ctrl.joint_torques, ctrl.contacts,
