@@ -86,17 +86,44 @@ def cmd_loop(args, model, params, static):
     import jax.numpy as jnp
 
     from go1_qp_mpc_controller_tpu.models import types
+    from go1_qp_mpc_controller_tpu.runtime import feeder as feeder_lib
     from go1_qp_mpc_controller_tpu.runtime import loop as loop_lib
 
     ctrl = types.init_ctrl_state(model, jnp.float32)
     cl = loop_lib.ControlLoop(model, params, static, ctrl,
                               main_period_s=args.dt,
-                              power_level=static.power_level)
+                              grf_period_s=args.grf_dt or args.dt,
+                              power_level=static.power_level,
+                              time_scale=args.time_scale)
+    feeder = None
     try:
-        n = cl.run(duration_s=args.duration)
-        print(json.dumps({"ticks": n,
-                          "cycle_ms": cl.metrics.summary("cycle_ms")}))
+        if not args.no_feeder:
+            # sim-backed 1 kHz sensor feed (the HardwareA1ROS receive
+            # thread's role); sync the controller to the plant's stand
+            feeder = feeder_lib.SimFeeder(cl.bridge, model, params,
+                                          height=args.height,
+                                          period_s=args.feed_dt,
+                                          time_scale=args.time_scale)
+            cl.state = feeder.initial_ctrl_state()
+            cl.warmup(dual=not args.single)
+            feeder.start(duration_s=args.duration + 5.0)
+        run = cl.run if args.single else cl.run_dual
+        n = run(duration_s=args.duration)
+        out = {"ticks": n,
+               "grf_ticks": cl.grf_ticks,
+               "cycle_ms": cl.metrics.summary("cycle_ms"),
+               "grf_ms": cl.metrics.summary("grf_ms")}
+        if feeder is not None:
+            feeder.stop()
+            out["feeder_ticks"] = feeder.ticks
+            out["root_pos"] = [round(float(v), 4)
+                               for v in feeder.sim_root_pos]
+            _, cmd = cl.bridge.read_command()
+            out["max_abs_tau"] = round(float(abs(cmd["tau"]).max()), 3)
+        print(json.dumps(out))
     finally:
+        if feeder is not None:
+            feeder.stop()
         cl.close()
 
 
@@ -122,7 +149,21 @@ def main(argv=None):
 
     p = sub.add_parser("loop")
     p.add_argument("--dt", type=float, default=0.002)
+    p.add_argument("--grf-dt", type=float, default=None,
+                   help="GRF solver cadence (default: --dt)")
+    p.add_argument("--feed-dt", type=float, default=0.001,
+                   help="sim sensor-feed cadence (reference: 1 ms)")
     p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--height", type=float, default=0.3)
+    p.add_argument("--time-scale", type=float, default=0.25,
+                   help="real-time factor (Gazebo RTF analog): wall "
+                        "periods = sim periods / time_scale. Default "
+                        "0.25 absorbs uncolocated solve latency; use "
+                        "1.0 on a co-located accelerator")
+    p.add_argument("--no-feeder", action="store_true",
+                   help="run against an externally fed bridge")
+    p.add_argument("--single", action="store_true",
+                   help="fused single-cadence loop (legacy)")
     p.set_defaults(fn=cmd_loop)
 
     args = parser.parse_args(argv)

@@ -34,6 +34,8 @@ def _load():
     lib.rt_bridge_push_sensors.argtypes = [ctypes.c_void_p] + [dptr] * 6
     lib.rt_bridge_read_sensors.argtypes = [ctypes.c_void_p, dptr]
     lib.rt_bridge_read_sensors.restype = ctypes.c_int64
+    lib.rt_bridge_set_foot_filter.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int]
     lib.rt_bridge_push_command.argtypes = [ctypes.c_void_p] + [dptr] * 4
     lib.rt_bridge_read_command.argtypes = [ctypes.c_void_p, dptr]
     lib.rt_bridge_read_command.restype = ctypes.c_int64
@@ -56,9 +58,18 @@ def _as_dptr(arr):
 class RtBridge:
     """Lock-free sensor/command blackboard with safety clamps."""
 
-    def __init__(self, power_level=5):
+    def __init__(self, power_level=5, foot_filter_window=0):
+        """Args:
+          foot_filter_window: 5-sample receive-side foot-force ring
+            filter (HardwareA1ROS.cpp:300-312); 0 = raw passthrough (the
+            Gazebo adapter does not filter). The divisor is always the
+            full window — the reference quirk (first pushes read low).
+        """
         self._lib = _load()
         self._h = self._lib.rt_bridge_create(int(power_level))
+        if foot_filter_window:
+            self._lib.rt_bridge_set_foot_filter(self._h,
+                                                int(foot_filter_window))
 
     def close(self):
         if self._h:

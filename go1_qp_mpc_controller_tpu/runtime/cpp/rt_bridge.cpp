@@ -82,6 +82,9 @@ struct Seqlock {
   }
 };
 
+constexpr int kFootFilterWindow = 5;  // FOOT_FILTER_WINDOW_SIZE,
+                                      // HardwareA1ROS.h:42
+
 struct Bridge {
   Seqlock<SensorFrame> sensors;
   Seqlock<CommandFrame> commands;
@@ -89,6 +92,14 @@ struct Bridge {
   std::atomic<int64_t> command_ticks{0};
   std::atomic<bool> running{false};
   int power_level = 5;  // 1..10, scales the torque budget like PowerProtect
+  // 5-sample foot-force ring filter on the receive path
+  // (HardwareA1ROS.cpp:300-312). The divisor is ALWAYS the full window —
+  // the reference quirk: the first pushes read low until the ring fills.
+  // window 0 = raw passthrough (the Gazebo adapter does not filter).
+  int foot_filter_window = 0;
+  double foot_ring[4][kFootFilterWindow] = {};
+  double foot_ring_sum[4] = {};
+  int foot_ring_idx[4] = {};
 };
 
 // Compensated-sleep rate keeper: period minus elapsed work time, never
@@ -144,9 +155,34 @@ void rt_bridge_push_sensors(void* h, const double* quat, const double* acc,
   std::memcpy(f.gyro, gyro, sizeof(f.gyro));
   std::memcpy(f.joint_pos, joint_pos, sizeof(f.joint_pos));
   std::memcpy(f.joint_vel, joint_vel, sizeof(f.joint_vel));
-  std::memcpy(f.foot_force, foot_force, sizeof(f.foot_force));
+  if (b->foot_filter_window > 0) {
+    // single-writer ring (push_sensors is the one receive thread)
+    const int w = b->foot_filter_window;
+    for (int i = 0; i < 4; ++i) {
+      b->foot_ring_sum[i] -= b->foot_ring[i][b->foot_ring_idx[i]];
+      b->foot_ring[i][b->foot_ring_idx[i]] = foot_force[i];
+      b->foot_ring_sum[i] += foot_force[i];
+      b->foot_ring_idx[i] = (b->foot_ring_idx[i] + 1) % w;
+      f.foot_force[i] = b->foot_ring_sum[i] / static_cast<double>(w);
+    }
+  } else {
+    std::memcpy(f.foot_force, foot_force, sizeof(f.foot_force));
+  }
   f.tick = b->sensor_ticks.fetch_add(1) + 1;
   b->sensors.write(f);
+}
+
+// window in [0, kFootFilterWindow]; 0 disables (raw passthrough).
+void rt_bridge_set_foot_filter(void* h, int window) {
+  auto* b = static_cast<Bridge*>(h);
+  if (window < 0) window = 0;
+  if (window > kFootFilterWindow) window = kFootFilterWindow;
+  b->foot_filter_window = window;
+  for (int i = 0; i < 4; ++i) {
+    b->foot_ring_sum[i] = 0.0;
+    b->foot_ring_idx[i] = 0;
+    for (int j = 0; j < kFootFilterWindow; ++j) b->foot_ring[i][j] = 0.0;
+  }
 }
 
 int64_t rt_bridge_read_sensors(void* h, double* out /* 4+3+3+12+12+4 */) {

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from go1_qp_mpc_controller_tpu.config import params as P
-from go1_qp_mpc_controller_tpu.ctrl import controller
+from go1_qp_mpc_controller_tpu.ctrl import controller, gait, swing, torque
 from go1_qp_mpc_controller_tpu.ops import admm
 from go1_qp_mpc_controller_tpu.runtime import bridge as bridge_lib
 from go1_qp_mpc_controller_tpu.utils import metrics as metrics_lib
@@ -40,14 +40,29 @@ class ControlLoop:
     def __init__(self, model, params, static, ctrl_state,
                  main_period_s=0.002, grf_period_s=0.002,
                  settings=admm.ADMMSettings(), power_level=5,
-                 stop_on_terminal=False):
+                 stop_on_terminal=False, time_scale=1.0):
         self.model = model
         self.params = params
         self.static = static
         self.state = ctrl_state
         self.main_period = main_period_s
         self.grf_period = grf_period_s
-        self.bridge = bridge_lib.RtBridge(power_level=power_level)
+        # real-time factor: wall period = sim period / time_scale while the
+        # math dts stay in sim time — the reference's use_sim_time Gazebo
+        # runs the same way when the simulator's RTF < 1
+        # (MainGazebo.cpp:31-37 requires use_sim_time). Use < 1 when the
+        # solve latency of the deployment host exceeds the real-time
+        # budget (e.g. CPU-only demos; a co-located TPU runs at 1.0).
+        self.time_scale = time_scale
+        # the hardware receive path filters foot forces through a 5-sample
+        # ring (HardwareA1ROS.cpp:300-312); Gazebo/Isaac feed raw values.
+        # PowerProtect torque budgets likewise exist only on hardware
+        # (HardwareA1ROS.cpp:200-202; GazeboA1ROS::send_cmd has no safety
+        # layer) — sim envs get the full physical ceiling (level 10).
+        hardware = static.environment == "hardware"
+        self.bridge = bridge_lib.RtBridge(
+            power_level=power_level if hardware else 10,
+            foot_filter_window=5 if hardware else 0)
         self.metrics = metrics_lib.MetricsLogger()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -71,6 +86,50 @@ class ControlLoop:
         # rejects at execute time
         self._step = jax.jit(full_step)
 
+        # dual-cadence split (MainGazebo.cpp:47-121): the fast loop runs
+        # plan + swing + torques against the LAST solved GRF; the slow
+        # loop re-solves the GRF QP/MPC on a state snapshot
+        def fast_step(state, sensors, dt):
+            state = controller.sensor_update(state, model, sensors, dt)
+            state = gait.update_plan(state, params, model)
+            state = swing.generate_swing_legs_ctrl(state, params, dt)
+            return torque.compute_joint_torques(state, params)
+
+        def grf_step(state):
+            if solver == controller.MPC:
+                return controller.compute_grf_mpc(
+                    state, model, params, settings,
+                    static.use_terrain_adapt)
+            return controller.compute_grf_qp(state, model, params,
+                                             settings)
+
+        self._fast_step = jax.jit(fast_step)
+        self._grf_step = jax.jit(grf_step)
+        self.fast_ticks = 0
+        self.grf_ticks = 0
+
+    def warmup(self, dual=True):
+        """Compile the jitted step(s) before entering the RT loops, so the
+        first in-loop ticks are not multi-second compile stalls (results
+        are discarded; only the jit cache matters)."""
+        import jax.numpy as jnp
+        dtype = self.state.root_pos.dtype
+        dt = jnp.asarray(self.main_period, dtype)
+        s = controller.SensorData(
+            quat_wxyz=jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype),
+            imu_acc=jnp.asarray([0.0, 0.0, 9.8], dtype),
+            imu_ang_vel=jnp.zeros(3, dtype),
+            joint_pos=self.state.joint_pos.astype(dtype),
+            joint_vel=jnp.zeros(12, dtype),
+            foot_force=jnp.full((4,), 50.0, dtype))
+        if dual:
+            st = self._fast_step(self.state, s, dt)
+            jax.block_until_ready(st.joint_torques)
+            jax.block_until_ready(self._grf_step(st).foot_forces_grf)
+        else:
+            jax.block_until_ready(
+                self._step(self.state, s, dt).joint_torques)
+
     def _read_sensor_data(self):
         tick, s = self.bridge.read_sensors()
         import jax.numpy as jnp
@@ -86,7 +145,7 @@ class ControlLoop:
     def run(self, num_ticks=None, duration_s=None):
         """Blocking main loop (single-loop fused variant: plan+solve+send
         each tick, the on-device fusion of the reference's two threads)."""
-        rate = bridge_lib.RateKeeper(self.main_period)
+        rate = bridge_lib.RateKeeper(self.main_period / self.time_scale)
         import jax.numpy as jnp
         dt = jnp.asarray(self.main_period, self.state.root_pos.dtype)
         n = 0
@@ -118,6 +177,96 @@ class ControlLoop:
             n += 1
         self.metrics.log("overruns", rate.overruns)
         rate.close()
+        return n
+
+    # fields the GRF solve owns; merged into the live state whenever a
+    # solve lands (the reference's GRF thread writes the same fields into
+    # the shared A1CtrlStates without locks, A1RobotControl.cpp:321-564)
+    _GRF_FIELDS = ("foot_forces_grf", "qp_warm_x", "qp_warm_y",
+                   "qp_warm_rho", "qp_warm_minv", "qp_warm_contacts",
+                   "qp_warm_grad", "terrain_angle_filter",
+                   "terrain_pitch_angle", "root_euler_d")
+
+    def run_dual(self, num_ticks=None, duration_s=None):
+        """Dual-cadence variant of :meth:`run`: a GRF solver loop at
+        ``grf_period_s`` and a fast plan+torque loop at ``main_period_s``
+        consuming the last solution — the reference's two free-running
+        threads (MainGazebo.cpp:47-121, MainHardware.cpp:85-129), each on
+        its own C++ compensated rate keeper.
+
+        Returns the number of fast ticks run; ``self.grf_ticks`` counts
+        landed solves.
+        """
+        import jax.numpy as jnp
+        grf_done = threading.Event()
+
+        def grf_loop():
+            rate = bridge_lib.RateKeeper(self.grf_period / self.time_scale)
+            try:
+                while not self._stop.is_set():
+                    with self._lock:
+                        snap = self.state
+                    t0 = time.perf_counter()
+                    solved = self._grf_step(snap)
+                    jax.block_until_ready(solved.foot_forces_grf)
+                    self.metrics.log(
+                        "grf_ms", (time.perf_counter() - t0) * 1e3)
+                    merged = {f: getattr(solved, f)
+                              for f in self._GRF_FIELDS}
+                    with self._lock:
+                        self.state = self.state._replace(**merged)
+                    self.grf_ticks += 1
+                    rate.wait()
+                self.metrics.log("grf_overruns", rate.overruns)
+            finally:
+                rate.close()
+                grf_done.set()
+
+        grf_thread = threading.Thread(target=grf_loop, daemon=True)
+        rate = bridge_lib.RateKeeper(self.main_period / self.time_scale)
+        dt = jnp.asarray(self.main_period, self.state.root_pos.dtype)
+        n = 0
+        t_end = time.time() + duration_s if duration_s else None
+        last_sensor_tick = -1
+        grf_thread.start()
+        try:
+            while not self._stop.is_set():
+                if num_ticks is not None and n >= num_ticks:
+                    break
+                if t_end is not None and time.time() >= t_end:
+                    break
+                tick, sensors = self._read_sensor_data()
+                if tick > 0 and tick != last_sensor_tick:
+                    last_sensor_tick = tick
+                    q = np.asarray(sensors.joint_pos).reshape(4, 3)
+                    terminal = bool(np.any((q <= self._pos_limits[:, 0])
+                                           | (q >= self._pos_limits[:, 1])))
+                    self.metrics.log("terminal_state", float(terminal))
+                    if terminal and self.stop_on_terminal:
+                        break
+                    t0 = time.perf_counter()
+                    with self._lock:
+                        state = self.state
+                    state = self._fast_step(state, sensors, dt)
+                    tau = np.asarray(state.joint_torques, np.float64)
+                    with self._lock:
+                        # keep any GRF-solve fields that landed while the
+                        # fast step ran
+                        merged = {f: getattr(self.state, f)
+                                  for f in self._GRF_FIELDS}
+                        self.state = state._replace(**merged)
+                    self.bridge.push_command(tau)
+                    self.metrics.log("cycle_ms",
+                                     (time.perf_counter() - t0) * 1e3)
+                    self.fast_ticks += 1
+                rate.wait()
+                n += 1
+        finally:
+            self._stop.set()
+            grf_done.wait(timeout=5.0)
+            self.metrics.log("overruns", rate.overruns)
+            rate.close()
+            self._stop.clear()
         return n
 
     def start(self, **kwargs):

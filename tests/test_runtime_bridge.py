@@ -73,3 +73,28 @@ def test_rate_keeper_object():
     assert 0.04 < elapsed < 0.5
     assert rk.overruns < 50
     rk.close()
+
+
+def test_foot_force_ring_filter():
+    """5-sample receive-side foot-force filter (HardwareA1ROS.cpp:300-312):
+    the divisor is ALWAYS the full window, so the first pushes read low
+    until the ring fills — the reference quirk, reproduced exactly."""
+    b = bridge.RtBridge(power_level=5, foot_filter_window=5)
+    try:
+        quat = np.array([1.0, 0.0, 0.0, 0.0])
+        z3, q12 = np.zeros(3), np.zeros(12)
+        ff = np.array([10.0, 20.0, 30.0, 40.0])
+        b.push_sensors(quat, z3, z3, q12, q12, ff)
+        _, s = b.read_sensors()
+        # one sample in a 5-divisor window
+        np.testing.assert_allclose(s["foot_force"], ff / 5.0)
+        for _ in range(4):
+            b.push_sensors(quat, z3, z3, q12, q12, ff)
+        _, s = b.read_sensors()
+        np.testing.assert_allclose(s["foot_force"], ff)  # ring full
+        # moving average: one outlier moves the mean by outlier/5
+        b.push_sensors(quat, z3, z3, q12, q12, ff + 50.0)
+        _, s = b.read_sensors()
+        np.testing.assert_allclose(s["foot_force"], ff + 10.0)
+    finally:
+        b.close()
