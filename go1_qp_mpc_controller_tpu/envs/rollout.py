@@ -13,9 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from go1_qp_mpc_controller_tpu.ctrl import controller
+from go1_qp_mpc_controller_tpu.ctrl import rl as rl_lib
 from go1_qp_mpc_controller_tpu.envs import srb_sim
 from go1_qp_mpc_controller_tpu.models import types
 from go1_qp_mpc_controller_tpu.ops import admm, ekf
+from go1_qp_mpc_controller_tpu.utils import rotations
 
 
 class RolloutCarry(NamedTuple):
@@ -116,5 +118,82 @@ def rollout(carry, model, params, num_steps, dt,
         )
         return RolloutCarry(ctrl=ctrl, sim=sim_new,
                             stance_forces_z=forces_z), trace
+
+    return jax.lax.scan(tick, carry, jnp.arange(num_steps))
+
+
+class RLRolloutCarry(NamedTuple):
+    rl: rl_lib.RLControllerState
+    sim: srb_sim.SimState
+    stance_forces_z: jnp.ndarray  # (4,)
+
+
+class RLRolloutTrace(NamedTuple):
+    obs: jnp.ndarray          # (T, 48)
+    target_q: jnp.ndarray     # (T, 12) commanded joint positions
+    kp: jnp.ndarray           # (T, 12) commanded gains (mode-dependent)
+    root_pos: jnp.ndarray     # (T, 3)
+    movement_mode: jnp.ndarray  # (T,)
+
+
+def init_rl_carry(model, height=0.3, dtype=jnp.float32):
+    """Standing start for the RL stack (stand/servo mode)."""
+    sim = srb_sim.init_sim_state(model, height, dtype)
+    rl = rl_lib.init_rl_state(sim.prev_joint_pos, dtype)
+    weight = model.mass * 9.8 / 4.0
+    return RLRolloutCarry(rl=rl, sim=sim,
+                          stance_forces_z=jnp.full((4,), weight, dtype))
+
+
+def rl_rollout(carry, model, policy_params, num_steps, dt,
+               command_fn=None, toggle_fn=None):
+    """Closed-loop RL rollout: policy -> position PD plant, one scan.
+
+    The TPU-native mirror of the reference's RL process
+    (go1_rl_ctrl_cpp/src/MainGazebo.cpp:22-144): per tick — observe the
+    plant, run SwitchController + Go1RLController::advance/advance_servo,
+    and step the plant through the motor PD loop the position commands
+    drive (Go1RLController.cpp:149-166). The plant keeps the all-stance
+    schedule (the RL stack plans no explicit gait; physics owns contact).
+
+    Args:
+      carry: RLRolloutCarry from :func:`init_rl_carry`.
+      model: RobotModel (Go1 geometry via the model's leg_geometry).
+      policy_params: MLP params (models/policy.py layout).
+      num_steps: static int.
+      dt: () RL action period (reference: 4 ms Gazebo / 2.5 ms hardware,
+        config/parameters.yaml:9-11).
+      command_fn: optional step_idx -> (3,) (cmd_vx, cmd_vy, cmd_yaw_rate).
+      toggle_fn: optional step_idx -> () bool A-button press
+        (SwitchController.hpp:11-69).
+    """
+    dtype = carry.sim.root_pos.dtype
+    contacts = jnp.ones(4, bool)
+    stand_targets = carry.sim.foot_pos_world - carry.sim.root_pos
+
+    def tick(c, step_idx):
+        sensors = srb_sim.read_sensors(c.sim, model, contacts,
+                                       c.stance_forces_z, dt)
+        rot = rotations.quat_to_rot_mat(sensors.quat_wxyz)
+        euler = rotations.quat_to_euler(sensors.quat_wxyz)
+        rot_z = rotations.rot_z(euler[2])
+        toggle = (toggle_fn(step_idx) if toggle_fn is not None
+                  else jnp.asarray(False))
+        command = (jnp.asarray(command_fn(step_idx), dtype)
+                   if command_fn is not None else jnp.zeros(3, dtype))
+        rl = rl_lib.switch_mode(c.rl, toggle)
+        # plant ground-truth velocity: the estimation thread's role
+        # (Go1Observation.hpp:392-424); the shared EKF is exercised by the
+        # MPC-stack tests
+        rl, cmd, obs = rl_lib.rl_control_step(
+            rl, policy_params, rot, rot_z, c.sim.root_lin_vel,
+            sensors.imu_ang_vel, command, sensors.joint_pos,
+            sensors.joint_vel)
+        sim, fz = srb_sim.step_pd(c.sim, model, cmd.q, cmd.kp, cmd.kd,
+                                  cmd.tau, contacts, stand_targets, dt)
+        trace = RLRolloutTrace(obs=obs, target_q=cmd.q, kp=cmd.kp,
+                               root_pos=sim.root_pos,
+                               movement_mode=rl.movement_mode)
+        return RLRolloutCarry(rl=rl, sim=sim, stance_forces_z=fz), trace
 
     return jax.lax.scan(tick, carry, jnp.arange(num_steps))

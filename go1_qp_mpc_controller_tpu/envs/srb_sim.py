@@ -16,6 +16,7 @@ body-frame gyro, joints, foot forces).
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from go1_qp_mpc_controller_tpu.config import params as P
@@ -194,6 +195,51 @@ def step(sim, model, joint_torques, contacts, swing_targets_rel, dt,
         prev_contacts=contacts, prev_joint_pos=q_legs.reshape(12),
         last_acc_world=acc)
     return new_sim, jnp.maximum(f_world[:, 2], 0.0)
+
+
+def step_pd(sim, model, cmd_q, kp, kd, tau_ff, contacts,
+            swing_targets_rel, dt, ground_coef=None, n_substeps=4):
+    """Advance the plant ``dt`` under joint-level position-PD commands.
+
+    The motor-side PD loop the RL controller commands instead of torques
+    (Go1RLController.cpp:149-166 sends q + kp/kd with tau=0; the Unitree
+    motor firmware closes tau = kp (q_d - q) - kd q_dot + tau_ff). The
+    resulting torques drive the same SRB force mapping as :func:`step`.
+
+    The command is held over ``n_substeps`` inner plant steps of
+    dt/n_substeps: the motor PD runs at >= 1 kHz on the robot while the
+    RL action period is 2.5-4 ms (config/parameters.yaml:9-11), and a
+    single explicit step at the action period is numerically unstable
+    (the one-step-lagged finite-difference q_dot turns kd into
+    anti-damping on the trunk pitch mode — measured blowup in ~6 steps).
+
+    Args:
+      cmd_q: (12,) position targets.
+      kp, kd: (12,) per-motor gains.
+      tau_ff: (12,) feedforward torque (zero in RL mode).
+      n_substeps: static int inner-loop count.
+
+    Returns:
+      (new SimState, (4,) applied stance normal forces from the last
+      substep).
+    """
+    sub_dt = dt / n_substeps
+
+    def substep(carry, _):
+        s, _fz = carry
+        feet_body = (s.foot_pos_world - s.root_pos) @ s.root_rot
+        q = kinematics.inverse_kinematics(
+            feet_body, model.leg_geometry.rho_fix).reshape(12)
+        q_dot = (q - s.prev_joint_pos) / sub_dt
+        tau = kp * (cmd_q - q) - kd * q_dot + tau_ff
+        s, fz = step(s, model, tau, contacts, swing_targets_rel, sub_dt,
+                     ground_coef=ground_coef)
+        return (s, fz), None
+
+    zero_fz = jnp.zeros(4, sim.root_pos.dtype)
+    (sim, fz), _ = jax.lax.scan(substep, (sim, zero_fz), None,
+                                length=n_substeps)
+    return sim, fz
 
 
 def _rot_to_quat(r):

