@@ -112,6 +112,7 @@ def test_warm_start_converges_faster():
     assert float(warm.dual_res) < 1e-2
 
 
+@pytest.mark.slow
 def test_batched_solve_consistency():
     """vmap over scenarios == per-scenario solves."""
     f = oracle.test_mpc_fixture()

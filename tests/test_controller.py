@@ -8,6 +8,7 @@ stand-mode slice of configs[1] (Gazebo replaced by the on-device SRB sim).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ctrl import controller, gait, swing, torque
 from go1_qp_mpc_controller_tpu.envs import rollout
@@ -140,6 +141,7 @@ def test_torque_warmup_and_nan_latch():
     np.testing.assert_allclose(np.asarray(out2.joint_torques), 7.0)
 
 
+@pytest.mark.slow
 def test_closed_loop_standing_mpc():
     """Stand-mode MPC holds the trunk at the commanded height for 1 s of
     500 Hz closed loop (configs[0]/[1] stand slice)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ops import ekf
 
@@ -52,6 +53,7 @@ def test_stationary_convergence():
     assert np.all(np.asarray(res.estimated_contacts) == 1.0)
 
 
+@pytest.mark.slow
 def test_constant_velocity_tracking():
     """Walking forward at constant v: estimator tracks v from leg odometry."""
     rot, fpr, _, acc, gyro, force = _stationary_inputs()

@@ -7,6 +7,7 @@ admm.mpc_solve_warm to solver tolerance on a drifting tick sequence.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.compat import oracle
 from go1_qp_mpc_controller_tpu.models import srb
@@ -50,6 +51,7 @@ def test_selection_matrices_match_constraint_ops():
     np.testing.assert_allclose(rows, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_warm_tick_matches_xla():
     f = oracle.test_mpc_fixture()
     b = 8
@@ -79,3 +81,36 @@ def test_pallas_warm_tick_matches_xla():
     # duals agree too (scaled consistently)
     yerr = np.abs(np.asarray(sol_p.y) - np.asarray(sol_x.y)).max()
     assert yerr < 1e-1 * (1 + np.abs(np.asarray(sol_x.y)).max())
+
+
+def test_schulz_balanced_kernel_matches_xla():
+    """VMEM-resident Schulz kernel == the XLA loop (same schedule, same
+    basin safeguard) on cold, warm-accept, and warm-reject paths."""
+    from go1_qp_mpc_controller_tpu.ops import admm as admm_mod
+
+    n = 120
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
+    m = a @ a.T / n + 3.0 * jnp.eye(n)
+    s = jax.lax.rsqrt(jnp.diagonal(m))
+    mb = m * s[:, None] * s[None, :]
+    unb = s[:, None] * s[None, :]
+
+    x_pal = pallas_admm.schulz_balanced(mb, 20, interpret=True)
+    x_ref = admm_mod._schulz_iterate_balanced(mb, s, 20) / unb
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               atol=5e-6)
+    # inversion quality
+    resid = np.abs(np.asarray(mb @ x_pal) - np.eye(n)).max()
+    assert resid < 1e-5
+    # warm accept
+    x0_b = x_pal * (1.0 + 1e-3)
+    xw_pal = pallas_admm.schulz_balanced(mb, 4, x0_b=x0_b, interpret=True)
+    xw_ref = admm_mod._schulz_iterate_balanced(mb, s, 4, x0=x0_b * unb) / unb
+    np.testing.assert_allclose(np.asarray(xw_pal), np.asarray(xw_ref),
+                               atol=5e-6)
+    # warm reject (garbage carry falls back to the cold schedule)
+    xg = jnp.full((n, n), 5.0)
+    xr_pal = pallas_admm.schulz_balanced(mb, 20, x0_b=xg, interpret=True)
+    xr_ref = admm_mod._schulz_iterate_balanced(mb, s, 20, x0=xg * unb) / unb
+    np.testing.assert_allclose(np.asarray(xr_pal), np.asarray(xr_ref),
+                               atol=5e-6)

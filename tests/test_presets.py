@@ -8,7 +8,7 @@ from go1_qp_mpc_controller_tpu.config import presets
 
 def test_all_presets_load():
     names = presets.available_presets()
-    assert len(names) == 8
+    assert len(names) == 9
     for name in names:
         model, params, static = presets.load_preset(name)
         assert float(model.mass) > 5.0

@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ctrl import controller
 from go1_qp_mpc_controller_tpu.envs import replay, rollout, srb_sim
@@ -30,6 +31,7 @@ def _standing_log(model, steps=50):
                               for name in controller.SensorData._fields])
 
 
+@pytest.mark.slow
 def test_replay_rollout_runs_controller():
     model = types.default_robot_model(DTYPE)
     params = types.default_ctrl_params(DTYPE)

@@ -5,6 +5,7 @@ must hold under corrupted inputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ctrl import controller
 from go1_qp_mpc_controller_tpu.envs import rollout, srb_sim
@@ -32,6 +33,7 @@ def test_nan_grf_keeps_previous_torques():
     np.testing.assert_allclose(np.asarray(out.joint_torques), 3.0)
 
 
+@pytest.mark.slow
 def test_nan_sensor_spike_recovers():
     """One tick of NaN foot forces must not destabilize standing: the
     contact estimate clamps and the torque NaN-latch holds."""
@@ -71,6 +73,7 @@ def test_nan_sensor_spike_recovers():
     assert abs(z[-1] - 0.3) < 0.05
 
 
+@pytest.mark.slow
 def test_solver_divergence_latch_in_batch():
     """A poisoned QP in a batch yields a zeroed, flagged solution without
     contaminating its neighbors."""

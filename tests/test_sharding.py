@@ -8,6 +8,7 @@ and consistency with the single-device path.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ops import admm
 from go1_qp_mpc_controller_tpu.parallel import mesh as mesh_lib
@@ -21,6 +22,7 @@ def _scenarios(batch, dtype=jnp.float64):
     return sweep.random_scenarios(key, batch, dtype)
 
 
+@pytest.mark.slow
 def test_data_parallel_sweep_matches_single_device():
     scn = _scenarios(16)
     m8 = mesh_lib.make_mesh(mpc_parallel=1)
@@ -38,6 +40,7 @@ def test_data_parallel_sweep_matches_single_device():
     assert float(out8.stats["max_primal_res"]) < 0.1
 
 
+@pytest.mark.slow
 def test_mpc_axis_hessian_psum_matches():
     """(4 data x 2 mpc) mesh: sharded-contraction condensation equals the
     replicated one."""

@@ -4,6 +4,7 @@ turning on the on-device SRB sim."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ctrl import controller
 from go1_qp_mpc_controller_tpu.envs import rollout
@@ -14,6 +15,7 @@ DTYPE = jnp.float64
 SETTINGS = admm.ADMMSettings(seg_iters=25, segments=3)
 
 
+@pytest.mark.slow
 def test_uphill_trot_with_terrain_adaptation():
     """Walking up a 10% grade: the plane fit + dihedral filter estimate a
     positive terrain angle and the trunk keeps a stable attitude
@@ -55,6 +57,7 @@ def test_uphill_trot_with_terrain_adaptation():
     assert np.abs(np.asarray(trace.root_euler)[200:, 0]).max() < 0.1
 
 
+@pytest.mark.slow
 def test_turning_trot():
     """Yaw-rate command: the robot turns while trotting (the MPC yaw
     reference integrates the commanded rate, A1RobotControl.cpp:477)."""

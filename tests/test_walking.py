@@ -9,6 +9,7 @@ and a proper alternating diagonal contact pattern.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.ctrl import controller
 from go1_qp_mpc_controller_tpu.envs import rollout
@@ -44,6 +45,7 @@ def _run(command, steps=1200, estimate=False):
     return run(carry)
 
 
+@pytest.mark.slow
 def test_forward_trot():
     carry, trace = _run(_walk_command([0.3, 0.0, 0.0]))
     pos = np.asarray(trace.root_pos)
@@ -64,6 +66,7 @@ def test_forward_trot():
     assert 0.3 < contacts[:, 0].mean() < 0.7
 
 
+@pytest.mark.slow
 def test_sideways_trot():
     carry, trace = _run(_walk_command([0.0, 0.2, 0.0]))
     pos = np.asarray(trace.root_pos)
@@ -73,12 +76,14 @@ def test_sideways_trot():
     assert np.all(np.abs(pos[200:, 2] - 0.3) < 0.03)
 
 
+@pytest.mark.slow
 def test_backward_trot():
     carry, trace = _run(_walk_command([-0.2, 0.0, 0.0]))
     vel = np.asarray(trace.root_lin_vel)
     np.testing.assert_allclose(vel[400:, 0].mean(), -0.2, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_forward_trot_with_ekf():
     """configs[3]: walking with the estimator closing the loop."""
     carry, trace = _run(_walk_command([0.25, 0.0, 0.0]), estimate=True)

@@ -10,6 +10,7 @@ warm path tracks the cold-solve answers through a drifting tick sequence.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.compat import oracle
 from go1_qp_mpc_controller_tpu.models import srb
@@ -29,6 +30,7 @@ def _tick_qp(f, x0):
         jnp.asarray(f["contacts"], DTYPE))
 
 
+@pytest.mark.slow
 def test_warm_ticks_track_cold_solutions():
     f = oracle.test_mpc_fixture()
     x0 = jnp.asarray(f["x0"], DTYPE)
@@ -52,6 +54,7 @@ def test_warm_ticks_track_cold_solutions():
     assert float(sol.dual_res) < 5e-4
 
 
+@pytest.mark.slow
 def test_warm_tick_batch_consistency():
     """vmap over scenarios of the warm tick == per-scenario ticks."""
     f = oracle.test_mpc_fixture()
@@ -80,6 +83,7 @@ def test_warm_tick_batch_consistency():
                                    np.asarray(single.x), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_production_warm_path_tracks_cold_in_closed_loop():
     """The controller's default warm path (WarmState carry + fused lazy
     solve + basin-gated cold transitions, ctrl/controller.py
