@@ -34,9 +34,40 @@ class StaticConfig:
     environment: str = "gazebo"    # gazebo | hardware | isaac
 
 
-def available_presets():
-    return sorted(p[:-5] for p in os.listdir(PRESET_DIR)
-                  if p.endswith(".yaml"))
+@dataclasses.dataclass(frozen=True)
+class RLConfig:
+    """RL-stack preset (go1_rl_ctrl_cpp/config/parameters.yaml /
+    hardware_parameters.yaml fields)."""
+    weights: str = "mass.pt"
+    stand_weights: str = "stand_cpp_model.pt"
+    action_period: float = 0.004    # action_update_frequency (s)
+    deploy_period: float = 0.002    # deployment_frequency (s)
+    stiffness: float = 18.0
+    damping: float = 10.0
+    power_level: int = 10           # go1_hardware_power_level
+    use_sim_time: bool = True
+
+
+def available_presets(stack=None):
+    """Preset names; ``stack`` filters to "mpc" (controller presets,
+    incl. qp solver variants) or "rl"."""
+    names = sorted(p[:-5] for p in os.listdir(PRESET_DIR)
+                   if p.endswith(".yaml"))
+    if stack is None:
+        return names
+    rl = {n for n in names if n.startswith("rl_")}
+    return sorted(rl) if stack == "rl" else sorted(set(names) - rl)
+
+
+def load_rl_preset(name):
+    """Load an RL-stack preset (e.g. "rl_gazebo") -> RLConfig."""
+    path = os.path.join(PRESET_DIR, name + ".yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    if cfg.get("stack") != "rl":
+        raise ValueError(f"{name} is not an RL preset (use load_preset)")
+    fields = {f.name for f in dataclasses.fields(RLConfig)}
+    return RLConfig(**{k: v for k, v in cfg.items() if k in fields})
 
 
 def load_preset(name, dtype=jnp.float32, mpc_dt=None, control_dt=0.002):

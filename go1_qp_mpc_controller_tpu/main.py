@@ -176,6 +176,52 @@ def cmd_rl(args, model, params, static):
     }))
 
 
+def cmd_rl_loop(args, model, params, static):
+    """RL host loop over the RT bridge against the sim feeder — the
+    hardware-mirror RL process (Go1RLHardwareController + estimation
+    thread + servo stand), R2/R6 parity."""
+    import jax
+    import numpy as np
+
+    from go1_qp_mpc_controller_tpu.config import presets
+    from go1_qp_mpc_controller_tpu.models import policy as policy_lib
+    from go1_qp_mpc_controller_tpu.runtime import feeder as feeder_lib
+    from go1_qp_mpc_controller_tpu.runtime import rl_loop as rl_loop_lib
+
+    rl_cfg = presets.load_rl_preset(args.rl_preset)
+    if args.weights:
+        actor = policy_lib.load_torchscript_actor(args.weights)
+    else:
+        actor = policy_lib.init_mlp(jax.random.PRNGKey(0))
+    loop = rl_loop_lib.RLControlLoop(
+        model, actor, action_period_s=rl_cfg.action_period,
+        power_level=rl_cfg.power_level, hardware=not rl_cfg.use_sim_time,
+        time_scale=args.time_scale, servo_only=args.servo_only)
+    feeder = None
+    try:
+        loop.warmup()
+        feeder = feeder_lib.SimFeeder(loop.bridge, model, params,
+                                      height=args.height,
+                                      period_s=rl_cfg.deploy_period,
+                                      time_scale=args.time_scale)
+        feeder.start(duration_s=args.duration + 5.0)
+        n = loop.run(duration_s=args.duration)
+        feeder.stop()
+        _, cmd = loop.bridge.read_command()
+        print(json.dumps({
+            "ticks": n,
+            "feeder_ticks": feeder.ticks,
+            "mode": int(loop.rl_state.movement_mode),
+            "root_pos": [round(float(v), 4)
+                         for v in feeder.sim_root_pos],
+            "kp_head": [round(float(v), 1) for v in cmd["kp"][:3]],
+        }))
+    finally:
+        if feeder is not None:
+            feeder.stop()
+        loop.close()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="gazebo_mpc")
@@ -214,6 +260,18 @@ def main(argv=None):
     p.add_argument("--single", action="store_true",
                    help="fused single-cadence loop (legacy)")
     p.set_defaults(fn=cmd_loop)
+
+    p = sub.add_parser("rl-loop")
+    p.add_argument("--rl-preset", default="rl_gazebo",
+                   help="rl_gazebo | rl_hardware (RL-stack config)")
+    p.add_argument("--duration", type=float, default=5.0)
+    p.add_argument("--height", type=float, default=0.3)
+    p.add_argument("--time-scale", type=float, default=0.25)
+    p.add_argument("--servo-only", action="store_true",
+                   help="standalone servo stand process "
+                        "(servo_stand_policy parity)")
+    p.add_argument("--weights", default=None)
+    p.set_defaults(fn=cmd_rl_loop)
 
     p = sub.add_parser("rl")
     p.add_argument("--steps", type=int, default=800)

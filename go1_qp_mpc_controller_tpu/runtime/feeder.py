@@ -74,13 +74,24 @@ class SimFeeder:
                 return srb_sim.step(sim, model, tau, self._contacts,
                                     self._stand_targets, dt)
 
+            def step_pd(sim, q, kp, kd, tau):
+                # position-mode commands (the RL stack's motor loop,
+                # Go1RLController.cpp:149-166)
+                return srb_sim.step_pd(sim, model, q, kp, kd, tau,
+                                       self._contacts,
+                                       self._stand_targets, dt)
+
             self._read = jax.jit(read)
             self._plant_step = jax.jit(step)
+            self._plant_step_pd = jax.jit(step_pd)
             # compile before the RT loop starts (results discarded)
             jax.block_until_ready(
                 self._read(self._sim, self._forces_z).joint_pos)
             jax.block_until_ready(self._plant_step(
                 self._sim, jnp.zeros(12, dtype))[1])
+            z12 = jnp.zeros(12, dtype)
+            jax.block_until_ready(self._plant_step_pd(
+                self._sim, z12, z12, z12, z12)[1])
 
     def initial_ctrl_state(self):
         """CtrlState synced to the plant's standing pose (what
@@ -114,11 +125,19 @@ class SimFeeder:
                     # those zeros would hand the engaged controller a
                     # large initial transient no hardware operator allows
                     if not self._engaged and cmd_tick > 0:
-                        self._engaged = bool(np.any(cmd["tau"] != 0.0))
+                        self._engaged = bool(np.any(cmd["tau"] != 0.0)
+                                             or np.any(cmd["kp"] != 0.0))
                     if self._engaged:
                         tau = jnp.asarray(cmd["tau"], dtype)
-                        self._sim, self._forces_z = self._plant_step(
-                            self._sim, tau)
+                        if np.any(cmd["kp"] != 0.0):
+                            # position-mode command (RL stack)
+                            self._sim, self._forces_z = self._plant_step_pd(
+                                self._sim, jnp.asarray(cmd["q"], dtype),
+                                jnp.asarray(cmd["kp"], dtype),
+                                jnp.asarray(cmd["kd"], dtype), tau)
+                        else:
+                            self._sim, self._forces_z = self._plant_step(
+                                self._sim, tau)
                 self.bridge.push_sensors(
                     np.asarray(sensors.quat_wxyz),
                     np.asarray(sensors.imu_acc),

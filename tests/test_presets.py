@@ -7,13 +7,29 @@ from go1_qp_mpc_controller_tpu.config import presets
 
 
 def test_all_presets_load():
-    names = presets.available_presets()
+    names = presets.available_presets(stack="mpc")
     assert len(names) == 9
     for name in names:
         model, params, static = presets.load_preset(name)
         assert float(model.mass) > 5.0
         assert params.q_weights.shape == (13,)
         assert static.solver in ("mpc", "qp")
+
+
+def test_rl_presets_load():
+    """RL-stack presets (go1_rl_ctrl_cpp/config/parameters.yaml /
+    hardware_parameters.yaml parity)."""
+    names = presets.available_presets(stack="rl")
+    assert names == ["rl_gazebo", "rl_hardware"]
+    sim = presets.load_rl_preset("rl_gazebo")
+    assert sim.use_sim_time and sim.action_period == 0.004
+    assert sim.deploy_period == 0.002
+    assert sim.weights == "mass.pt"
+    hw = presets.load_rl_preset("rl_hardware")
+    assert not hw.use_sim_time
+    assert hw.action_period == 0.0025   # 400 Hz
+    assert hw.deploy_period == 0.001    # 1000 Hz
+    assert hw.power_level == 6
 
 
 def test_gazebo_mpc_values():
