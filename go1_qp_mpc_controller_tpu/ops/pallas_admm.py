@@ -218,6 +218,91 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
     return sol, new_warm
 
 
+def _schulz_kernel(mb_ref, *refs, iters, have_warm):
+    """VMEM-resident Newton-Schulz loop (one matrix, fully on-chip).
+
+    Same schedule as admm._schulz_iterate_balanced: cold init
+    I/(1.05 ||M_b||_inf), fused basin safeguard on a warm start (the
+    signature test shares the first step's inner product), HIGH middle
+    steps, HIGHEST 2-step tail. Operates in BALANCED space end to end.
+    """
+    if have_warm:
+        x0_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    mb = mb_ref[:]
+    npd = mb.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (npd, npd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (npd, npd), 1)
+    eye = (rows == cols).astype(mb.dtype)
+    eye2 = 2.0 * eye
+    hi = jax.lax.Precision.HIGHEST
+    lo = jax.lax.Precision.HIGH
+
+    norminf = jnp.max(jnp.sum(jnp.abs(mb), axis=-1))
+    c = 1.0 / (1.05 * norminf)
+    cold = c * eye
+    hi_tail = min(iters, 2)
+    start = 0
+    if have_warm:
+        x0 = x0_ref[:]
+        inner = jnp.dot(mb, x0, precision=hi)
+        row_inner = jnp.sum(jnp.abs(inner), axis=-1)
+        d = jnp.sum(inner * eye, axis=-1)
+        ok = (jnp.min(d) > 1e-4) & (jnp.max(row_inner) < 3.0)
+        if iters == 0:
+            x = jnp.where(ok, x0, cold)
+        else:
+            stepped = jnp.dot(x0, eye2 - inner, precision=hi)
+            stepped_cold = c * (eye2 - c * mb)
+            x = jnp.where(ok, stepped, stepped_cold)
+            start = 1
+    else:
+        x = cold
+    for k in range(start, iters):
+        prec = hi if k >= iters - hi_tail else lo
+        x = jnp.dot(x, eye2 - jnp.dot(mb, x, precision=prec),
+                    precision=prec)
+    out_ref[:] = x
+
+
+def schulz_balanced(m_b, iters, x0_b=None, interpret=False):
+    """Pallas Newton-Schulz inverse of a Jacobi-balanced matrix.
+
+    VMEM-resident version of admm._schulz_iterate_balanced (identical
+    schedule and basin safeguard), returning the BALANCED inverse — the
+    caller unbalances with its own scale. Input/output padded n -> 128
+    with an identity pad block: padded rows have row sum 1 <= the true
+    inf-norm (M_b has unit diagonal), so the cold scaling, the safeguard
+    signature and every iterate on the true block are bit-equivalent to
+    the unpadded computation.
+
+    Args:
+      m_b: (n, n) balanced matrix (unit diagonal).
+      iters: static step count.
+      x0_b: optional (n, n) BALANCED warm start (safeguarded).
+      interpret: Pallas interpreter mode (CPU tests).
+    """
+    n = m_b.shape[-1]
+    dtype = m_b.dtype
+    pad = (-n) % 128
+    npd = n + pad
+    idx = jnp.arange(npd)
+    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= n),
+                        jnp.ones((), dtype), jnp.zeros((), dtype))
+    args = [jnp.pad(m_b, ((0, pad), (0, pad))) + pad_eye]
+    if x0_b is not None:
+        args.append(jnp.pad(x0_b, ((0, pad), (0, pad))) + pad_eye)
+    kernel = functools.partial(_schulz_kernel, iters=iters,
+                               have_warm=x0_b is not None)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((npd, npd), dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:n, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "alpha", "sigma",
                                              "interpret", "tile"))
 def admm_iterations(minv, qbar, lb, ub, rho_vec, mu, x0, y0,
