@@ -169,9 +169,16 @@ def main():
     dtype = jnp.float32
     # segments=2 keeps the unrolled cold program small: the axon remote
     # compiler does not hit jax's persistent cache, so bench compile time
-    # is part of the wall-clock budget
+    # is part of the wall-clock budget. Cold path r2: scaled Newton-Schulz
+    # schedule (14 cold + 11 refine steps instead of 20+20) in the
+    # VMEM-resident Pallas kernel (M crosses HBM once per segment instead
+    # of every step) — measured 32.4k -> 71.5k cold solves/s at batch
+    # 4096 with cold-vs-tight GRF accuracy unchanged (med 0.84 N,
+    # p90 7.6 N, max 23 N — identical to the plain 20+20 XLA path).
     settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
-                                      polish=False)
+                                      polish=False, schulz_l0=1e-6,
+                                      schulz_l0_refine=1e-4,
+                                      schulz_impl="pallas")
     # accuracy at this config (measured vs a tight polished reference over
     # 8 drifting ticks x 256 random scenarios on TPU): first-step GRF
     # median diff 0.064 N, p90 5.0 N on ~180 N forces; extra iterations

@@ -78,6 +78,30 @@ class ADMMSettings(NamedTuple):
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
     schulz_iters: int = 20      # Newton-Schulz steps (Jacobi-scaled init)
     schulz_refine: int = 6      # warm-tick refinement steps (solve_warm)
+    # Scaled (endpoint-balanced) cold Newton-Schulz: when > 0, solve()'s
+    # per-segment inversions replace the plain fixed-count schedule with a
+    # coefficient schedule computed for a worst-case balanced spectrum
+    # lower edge of schulz_l0 (see _scaled_schulz_coeffs) — ~14 steps
+    # instead of 20 for l0 = 1e-6, and MORE robust (the plain 20-step
+    # schedule only lifts a lower edge of ~4e-5). Warm-start branches run
+    # plain Newton (coefficient 1) per scenario; only the cold/fallback
+    # branch is scaled, so a converged carry is never destroyed.
+    schulz_l0: float = 0.0
+    # Later-segment variant of schulz_l0: segments after the first carry
+    # the previous segment's inverse (rescaled by the rho ratio), which
+    # the basin test accepts for all but pathological rho jumps — those
+    # accepted warm starts re-converge in ~8 plain steps, so the shared
+    # schedule can assume a friendlier lower edge (e.g. 1e-3 -> 10 steps
+    # instead of 14). The rare basin-rejected scenario then restarts on an
+    # under-provisioned cold schedule — acceptable exactly when the
+    # cold-vs-tight GRF accuracy gate says so. 0 = use schulz_l0.
+    schulz_l0_refine: float = 0.0
+    # "xla" = per-step matmul loop (HBM-bound: ~1.65 GB of m_b/x traffic
+    # per step at batch 4096 = 2.5 ms/step). "pallas" = VMEM-resident
+    # kernel (pallas_admm.schulz_inverse_batch): M crosses HBM once and
+    # the whole schedule runs on-chip. Batched calls reach the kernel
+    # through a custom_vmap rule, so solve() stays per-scenario.
+    schulz_impl: str = "xla"
     # Anderson(1) acceleration of the warm-tick ADMM loop: secant
     # extrapolation over consecutive fixed-point residuals, safeguarded
     # per scenario (plain step whenever the extrapolation coefficient is
@@ -111,7 +135,47 @@ class ADMMSolution(NamedTuple):
     dual_res: jnp.ndarray    # () max |Px + q + C'y|
 
 
-def _schulz_inverse(m_mat, iters, x0=None):
+@functools.lru_cache(maxsize=None)
+def _scaled_schulz_coeffs(l0, tail=2):
+    """Endpoint-balanced scaled Newton-Schulz coefficient schedule.
+
+    Plain Newton-Schulz on a balanced SPD matrix spends most of its
+    budget doubling the small eigenvalues of M_b X up toward 1. The
+    scaled iteration X <- a X (2I - a M X) with a = 2/(l+u) maps the
+    spectral interval [l, u] of M_b X to [4lu/(l+u)^2, 1] — both
+    endpoints land on the common minimum, the interior on <= 1 — which
+    QUADRUPLES the lower edge per step while u stays pinned at 1 (plain
+    Newton only doubles it). The schedule is computed statically from a
+    worst-case lower edge l0 and is valid for ANY actual spectrum inside
+    [l0, 1/1.05]: a better-conditioned matrix simply converges sooner
+    (f(y) <= 1 for all y, positivity needs a y < 2 which a = 2/(l+u)
+    guarantees). Ends with `tail` plain (a = 1) Newton steps that square
+    the ~1e-3 interval residual to the f32 floor — run at HIGHEST
+    precision by the caller, like the plain schedule's tail.
+
+    Noise margin (measured hazard): exact endpoint balancing puts the
+    top edge at a u = 2 - 2l/(l+u) — within ~1e-6 of the positivity
+    cliff once l < 1e-6. Matmul noise then pushes a top eigenvalue past
+    2, f maps it NEGATIVE, and negative eigenvalues grow ~4x/step into
+    overflow (measured: one scenario in 4096 at 7e17). Balancing on the
+    inflated interval [l, u (1 + margin)] keeps 4x lower-edge growth
+    (the cap f(u') = 4 l u'/(l+u')^2 is the same balanced form) while
+    giving the top edge a margin/noise ~ 1000x safety factor. Step 0's
+    top edge 1/1.05 is an exact bound (norminf >= lambda_max), but its
+    OUTPUT carries product noise, so u = 1 + margin from step 1 on.
+    """
+    margin = 1e-3
+    l, u = float(l0), 1.0 / 1.05
+    coeffs = []
+    while l < 0.99 and len(coeffs) < 60:
+        u_eff = u * (1.0 + margin) if coeffs else u
+        coeffs.append(2.0 / (l + u_eff))
+        l = 4.0 * l * u_eff / ((l + u_eff) ** 2)
+        u = 1.0
+    return tuple(coeffs) + (1.0,) * tail
+
+
+def _schulz_inverse(m_mat, iters, x0=None, coeffs=None):
     """Newton-Schulz matrix inverse on the Jacobi-BALANCED matrix.
 
     Computes M^-1 as S (M_b)^-1 S with S = diag(M)^-1/2 and
@@ -142,20 +206,27 @@ def _schulz_inverse(m_mat, iters, x0=None):
     """
     s = jax.lax.rsqrt(jnp.diagonal(m_mat))
     m_b = m_mat * s[:, None] * s[None, :]
-    return _schulz_iterate_balanced(m_b, s, iters, x0)
+    return _schulz_iterate_balanced(m_b, s, iters, x0, coeffs)
 
 
-def _schulz_iterate_balanced(m_b, s, iters, x0=None):
+def _schulz_iterate_balanced(m_b, s, iters, x0=None, coeffs=None):
     """Newton-Schulz on an already-balanced matrix (see _schulz_inverse).
 
     Args:
       m_b: (n, n) Jacobi-balanced matrix (unit diagonal).
       s: (n,) the balancing scale diag(M)^-1/2.
       x0: optional UNBALANCED warm inverse (basin-safeguarded).
+      coeffs: optional scaled-step schedule (_scaled_schulz_coeffs);
+        overrides `iters` with its length. Scaling applies to the
+        cold/fallback branch only — a basin-accepted warm start runs
+        plain Newton (a scaled step maps a converged inverse's unit
+        spectrum to ~0, destroying it), selected per scenario.
 
     Returns:
       The UNBALANCED inverse S (M_b)^-1 S.
     """
+    if coeffs is not None:
+        iters = len(coeffs)
     n = m_b.shape[-1]
     dtype = m_b.dtype
     eye = jnp.eye(n, dtype=dtype)
@@ -168,6 +239,7 @@ def _schulz_iterate_balanced(m_b, s, iters, x0=None):
 
     hi_tail = min(iters, 2)
     start = 0
+    ok = None
     if x0 is not None:
         # balance the warm start: X ~ M^-1  =>  X_b = S^-1 X S^-1.
         # The basin test shares the first Schulz step's inner product
@@ -209,6 +281,9 @@ def _schulz_iterate_balanced(m_b, s, iters, x0=None):
         else:
             stepped = jnp.matmul(x0_b, eye2 - inner, precision=hi)
             c = 1.0 / (1.05 * norminf)
+            if coeffs is not None:
+                # scaled first step from the cold init: a c (2I - a c M_b)
+                c = coeffs[0] * c
             stepped_cold = c * (eye2 - c * m_b)
             x = jnp.where(ok, stepped, stepped_cold)
             start = 1
@@ -217,8 +292,17 @@ def _schulz_iterate_balanced(m_b, s, iters, x0=None):
 
     for k in range(start, iters):
         prec = hi if k >= iters - hi_tail else lo
-        x = jnp.matmul(x, eye2 - jnp.matmul(m_b, x, precision=prec),
-                       precision=prec)
+        a = 1.0 if coeffs is None else coeffs[k]
+        if a == 1.0:
+            x = jnp.matmul(x, eye2 - jnp.matmul(m_b, x, precision=prec),
+                           precision=prec)
+        else:
+            # scaled step X <- a X (2I - a M X), as X @ (2a I - a^2 M X);
+            # warm-accepted scenarios run plain Newton (a = 1)
+            aa = a if ok is None else jnp.where(ok, 1.0, a)
+            inner_k = jnp.matmul(m_b, x, precision=prec)
+            x = jnp.matmul(x, (2.0 * aa) * eye - (aa * aa) * inner_k,
+                           precision=prec)
     return x * s[:, None] * s[None, :]
 
 
@@ -238,6 +322,39 @@ def _schulz_refine_warm(m_mat, x0, iters):
     scenarios but NaNs the closed-loop rollout (see _schulz_inverse).
     """
     return _schulz_inverse(m_mat, iters, x0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_schulz_fns(coeffs, iters):
+    """(cold_fn, warm_fn) pair routing Schulz inversion to the Pallas
+    VMEM-resident kernel. Defined per-scenario with a custom_vmap rule:
+    under a caller's vmap the whole batch lands in one pallas_call with
+    scenario tiling (tile=8 keeps the MXU pipeline full across the
+    sequential dot chain — tile=1 via the default pallas batching rule
+    measured 1.7x slower)."""
+    from go1_qp_mpc_controller_tpu.ops import pallas_admm
+
+    @jax.custom_batching.custom_vmap
+    def cold(m):
+        return pallas_admm.schulz_inverse_batch(m[None], iters,
+                                                coeffs=coeffs)[0]
+
+    @cold.def_vmap
+    def _cold_rule(axis_size, in_batched, m):
+        return pallas_admm.schulz_inverse_batch(m, iters,
+                                                coeffs=coeffs), True
+
+    @jax.custom_batching.custom_vmap
+    def warm(m, x0):
+        return pallas_admm.schulz_inverse_batch(m[None], iters, x0=x0[None],
+                                                coeffs=coeffs)[0]
+
+    @warm.def_vmap
+    def _warm_rule(axis_size, in_batched, m, x0):
+        return pallas_admm.schulz_inverse_batch(m, iters, x0=x0,
+                                                coeffs=coeffs), True
+
+    return cold, warm
 
 
 def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
@@ -260,7 +377,18 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         # oracle parity by ~30 N when inter-segment rho jumps trigger the
         # fallback. Warm starts inside the basin just converge long before
         # the end (the extra matmuls are the price of fixed shapes).
-        minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv)
+        l0 = settings.schulz_l0
+        if warm_minv is not None and settings.schulz_l0_refine > 0:
+            l0 = settings.schulz_l0_refine
+        coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
+        if settings.schulz_impl == "pallas":
+            cold_fn, warm_fn = _pallas_schulz_fns(coeffs,
+                                                  settings.schulz_iters)
+            minv = (cold_fn(m_mat) if warm_minv is None
+                    else warm_fn(m_mat, warm_minv))
+        else:
+            minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv,
+                                   coeffs)
     return (lambda rhs: minv @ rhs), minv
 
 

@@ -218,6 +218,149 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
     return sol, new_warm
 
 
+def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
+    """Full _schulz_inverse for a tile of scenarios, VMEM-resident.
+
+    Per scenario: Jacobi-balance the UNBALANCED KKT matrix, run the
+    (optionally scaled) Newton-Schulz schedule with the fused basin
+    safeguard on a warm start, unbalance, write the inverse. The XLA
+    loop pays ~3x n^2 HBM traffic per step (m_b + x read, x written,
+    ~1.65 GB/step at batch 4096 = 2.5 ms/step, memory-bound); here M
+    crosses HBM once and every iterate lives in VMEM.
+
+    coeffs: per-step scalar schedule (1.0 = plain Newton); scaled steps
+    apply only to the cold/fallback branch (see admm._scaled_schulz_coeffs).
+    precisions: per-step jax.lax.Precision.
+    """
+    if have_warm:
+        x0_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    m = m_ref[...]                            # (T, npd, npd)
+    t, npd = m.shape[0], m.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, npd, npd), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, npd, npd), 2)
+    eye = (rows == cols).astype(m.dtype)      # (T, npd, npd)
+    diag = jnp.sum(m * eye, axis=-1)          # (T, npd)
+    s = jax.lax.rsqrt(diag)
+    unb = s[:, :, None] * s[:, None, :]
+    mb = m * unb
+
+    dims = (((2,), (1,)), ((0,), (0,)))
+
+    def dot(a, b, prec):
+        if prec == "bf16x3":
+            # Mosaic has no Precision.HIGH lowering; emit the same 3-pass
+            # bf16 product manually (a_hi b_hi + a_hi b_lo + a_lo b_hi)
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            # explicit DEFAULT precision: an ambient f32_matmuls context
+            # would otherwise stamp fp32 contract precision onto bf16
+            # operands, which Mosaic rejects ("Bad lhs type")
+            d = lambda x, y: jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+        return jax.lax.dot_general(a, b, dims, precision=prec)
+
+    norminf = jnp.max(jnp.sum(jnp.abs(mb), axis=-1), axis=-1)  # (T,)
+    c = (1.0 / (1.05 * norminf))[:, None, None]
+    eye2 = 2.0 * eye
+    iters = len(coeffs)
+    start = 0
+    ok = None
+    if have_warm:
+        x0b = x0_ref[...] / unb
+        inner = dot(mb, x0b, hi)
+        row_inner = jnp.sum(jnp.abs(inner), axis=-1)            # (T, npd)
+        d = jnp.sum(inner * eye, axis=-1)
+        ok = ((jnp.min(d, axis=-1) > 1e-4)
+              & (jnp.max(row_inner, axis=-1) < 3.0))[:, None, None]
+        if iters == 0:
+            x = jnp.where(ok, x0b, c * eye)
+        else:
+            stepped = dot(x0b, eye2 - inner, hi)
+            ac = coeffs[0] * c
+            stepped_cold = ac * (eye2 - ac * mb)
+            x = jnp.where(ok, stepped, stepped_cold)
+            start = 1
+    else:
+        x = c * eye
+        if iters and coeffs[0] != 1.0:
+            # fold the scaled first step analytically (x is scalar x I)
+            ac = coeffs[0] * c
+            x = ac * (eye2 - ac * mb)
+            start = 1
+    for k in range(start, iters):
+        a = coeffs[k]
+        prec = precisions[k]
+        inner = dot(mb, x, prec)
+        if a == 1.0:
+            x = dot(x, eye2 - inner, prec)
+        else:
+            aa = a if ok is None else jnp.where(ok, 1.0, a)
+            x = dot(x, (2.0 * aa) * eye - (aa * aa) * inner, prec)
+    out_ref[...] = x * unb
+
+
+def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,
+                         interpret=None, tile=8):
+    """Batched admm._schulz_inverse as a VMEM-resident Pallas kernel.
+
+    Args:
+      m_mat: (B, n, n) UNBALANCED SPD KKT matrices.
+      iters: plain-Newton step count (used when coeffs is None; the tail
+        2 steps run at HIGHEST like the XLA schedule).
+      x0: optional (B, n, n) unbalanced warm inverses (basin-safeguarded).
+      coeffs: optional scaled schedule (admm._scaled_schulz_coeffs).
+      tile: scenarios per program — interleaves independent dot chains so
+        the MXU pipeline stays full across the sequential dependency.
+
+    Returns:
+      (B, n, n) unbalanced inverses, matching admm._schulz_inverse.
+    """
+    b, n = m_mat.shape[0], m_mat.shape[-1]
+    dtype = m_mat.dtype
+    if interpret is None:   # CPU (tests): run the Pallas interpreter
+        interpret = jax.default_backend() != "tpu"
+    if coeffs is None:
+        coeffs = (1.0,) * iters
+    hi = jax.lax.Precision.HIGHEST
+    hi_tail = min(len(coeffs), 2)
+    precisions = tuple(hi if k >= len(coeffs) - hi_tail else "bf16x3"
+                       for k in range(len(coeffs)))
+    pad = (-n) % 128
+    npd = n + pad
+    idx = jnp.arange(npd)
+    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= n),
+                        jnp.ones((), dtype), jnp.zeros((), dtype))
+    args = [jnp.pad(m_mat, ((0, 0), (0, pad), (0, pad))) + pad_eye]
+    if x0 is not None:
+        args.append(jnp.pad(x0, ((0, 0), (0, pad), (0, pad))) + pad_eye)
+    if b % tile:
+        reps = tile - b % tile
+        args = [jnp.concatenate([a, jnp.repeat(a[-1:], reps, 0)]) for a in args]
+    bt = args[0].shape[0]
+    kernel = functools.partial(_schulz_batch_kernel, coeffs=tuple(coeffs),
+                               precisions=precisions,
+                               have_warm=x0 is not None)
+    bs = pl.BlockSpec((tile, npd, npd), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bt, npd, npd), dtype),
+        grid=(bt // tile,),
+        in_specs=[bs] * len(args),
+        out_specs=bs,
+        interpret=interpret,
+    )(*args)
+    return out[:b, :n, :n]
+
+
 def _schulz_kernel(mb_ref, *refs, iters, have_warm):
     """VMEM-resident Newton-Schulz loop (one matrix, fully on-chip).
 

@@ -195,6 +195,61 @@ def test_pyramid_kkt_fused_matches_dense_build():
                                    else 1e-5)
 
 
+def test_scaled_schulz_schedule_matches_plain():
+    """The endpoint-balanced scaled schedule (14 steps for l0=1e-6)
+    converges like the plain 20-step schedule: cold, warm-accept (a
+    converged carry must NOT be destroyed by the scaled coefficients),
+    and safeguarded fallback."""
+    coeffs = admm._scaled_schulz_coeffs(1e-6)
+    assert len(coeffs) <= 15
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(120, 120)) * 0.1
+    scale = np.exp(rng.uniform(0, 7, 120))
+    m_np = a @ a.T + np.diag(scale)
+    m = jnp.asarray(m_np, jnp.float32)
+
+    x_cold = admm._schulz_inverse(m, 0, coeffs=coeffs)
+    r = np.abs(np.eye(120) - m_np @ np.asarray(x_cold, np.float64))
+    assert r.max() < 1e-4, r.max()
+
+    x0 = jnp.asarray(np.linalg.inv(m_np), jnp.float32)
+    x_warm = admm._schulz_inverse(m, 0, x0=x0, coeffs=coeffs)
+    r = np.abs(np.eye(120) - m_np @ np.asarray(x_warm, np.float64))
+    assert r.max() < 1e-4, r.max()
+
+    x_bad = jnp.asarray(rng.normal(size=(120, 120)) * 100, jnp.float32)
+    x_fb = admm._schulz_inverse(m, 0, x0=x_bad, coeffs=coeffs)
+    r = np.abs(np.eye(120) - m_np @ np.asarray(x_fb, np.float64))
+    assert np.isfinite(np.asarray(x_fb)).all()
+    assert r.max() < 1e-4, r.max()
+
+
+def test_scaled_pallas_cold_settings_match_oracle_f32():
+    """The production/bench cold configuration (scaled Schulz schedule,
+    optionally the Pallas VMEM kernel) vs the oracle fixture in f32, and
+    batched == single through the custom_vmap route."""
+    grf_ref, _, _, _ = _fixture_solution()
+    qp_jax = _fixture_jax_qp(jnp.float32)
+    for impl in ("xla", "pallas"):
+        st = admm.ADMMSettings(seg_iters=30, segments=2, polish=False,
+                               schulz_l0=1e-6, schulz_l0_refine=1e-4,
+                               schulz_impl=impl)
+        sol = admm.mpc_solve(qp_jax, st)
+        err = np.abs(np.asarray(sol.x[:12]).reshape(4, 3) - grf_ref).max()
+        assert err < 5e-2, f"{impl}: GRF error {err}"
+        # batched path (the custom_vmap rule hits the tiled kernel)
+        qp_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (8,) + a.shape),
+                            qp_jax)
+        sol_b = jax.jit(jax.vmap(lambda q: admm.mpc_solve(q, st).x))(qp_b)
+        # gate below the fixture's flat-direction noise floor (~2e-2,
+        # see test_jax_admm_f32_accuracy): single and batched take
+        # different kernel paddings, so agreement is solver-tolerance,
+        # not bitwise
+        np.testing.assert_allclose(np.asarray(sol_b),
+                                   np.tile(np.asarray(sol.x), (8, 1)),
+                                   atol=1e-2)
+
+
 def test_schulz_inverse_balanced_cold_and_warm():
     """Balanced Newton-Schulz: converged inverse cold, refined warm, and
     safeguarded fallback on an out-of-basin warm start."""

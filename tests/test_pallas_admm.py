@@ -83,6 +83,46 @@ def test_pallas_warm_tick_matches_xla():
     assert yerr < 1e-1 * (1 + np.abs(np.asarray(sol_x.y)).max())
 
 
+def test_schulz_inverse_batch_matches_xla():
+    """Batched VMEM Schulz kernel (balance + scaled schedule + basin
+    safeguard + unbalance) == the XLA path on cold, warm-accept, and
+    warm-reject, to bf16x3-vs-HIGH tolerance."""
+    from go1_qp_mpc_controller_tpu.ops import admm as admm_mod
+
+    rng = np.random.default_rng(3)
+    b, n = 8, 120
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    m = jnp.asarray(a @ a.transpose(0, 2, 1) / n + 3.0 * np.eye(n))
+    coeffs = admm_mod._scaled_schulz_coeffs(1e-6)
+
+    def check(x_pal, x_ref):
+        x_pal, x_ref = np.asarray(x_pal, np.float64), np.asarray(x_ref)
+        scale = np.abs(x_ref).max()
+        assert np.abs(x_pal - x_ref).max() < 1e-3 * scale
+        resid = np.abs(np.einsum('bij,bjk->bik', np.asarray(m, np.float64),
+                                 x_pal) - np.eye(n)).max()
+        assert resid < 1e-4, resid
+
+    x_ref = jax.vmap(lambda mm: admm_mod._schulz_inverse(
+        mm, 0, coeffs=coeffs))(m)
+    check(pallas_admm.schulz_inverse_batch(m, 0, coeffs=coeffs,
+                                           interpret=True), x_ref)
+
+    x0 = x_ref * (1.0 + 1e-3)
+    xw_ref = jax.vmap(lambda mm, xx: admm_mod._schulz_inverse(
+        mm, 0, x0=xx, coeffs=coeffs))(m, x0)
+    check(pallas_admm.schulz_inverse_batch(m, 0, x0=x0, coeffs=coeffs,
+                                           interpret=True), xw_ref)
+
+    # per-scenario safeguard: garbage carry in half the batch falls back
+    # to the scaled cold schedule without touching the good half
+    x0_mix = x0.at[::2].set(5.0)
+    xm_ref = jax.vmap(lambda mm, xx: admm_mod._schulz_inverse(
+        mm, 0, x0=xx, coeffs=coeffs))(m, x0_mix)
+    check(pallas_admm.schulz_inverse_batch(m, 0, x0=x0_mix, coeffs=coeffs,
+                                           interpret=True), xm_ref)
+
+
 def test_schulz_balanced_kernel_matches_xla():
     """VMEM-resident Schulz kernel == the XLA loop (same schedule, same
     basin safeguard) on cold, warm-accept, and warm-reject paths."""
