@@ -1,0 +1,128 @@
+"""Stagewise O(H) solver: condensed-solver parity at H=10, direct KKT
+optimality at H=40 (where no dense reference exists), and batching.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go1_qp_mpc_controller_tpu.compat import oracle
+from go1_qp_mpc_controller_tpu.models import srb
+from go1_qp_mpc_controller_tpu.ops import admm, stagewise
+
+DT = jnp.float64
+
+
+def _fixture():
+    f = oracle.test_mpc_fixture()
+    return {
+        "a_d": jnp.asarray(f["a_d"], DT),
+        "b_d": jnp.asarray(f["b_d_list"][0], DT),
+        "x0": jnp.asarray(f["x0"], DT),
+        "x_ref": jnp.asarray(f["x_ref"], DT).reshape(10, 13),
+        "q": jnp.asarray(f["q_weights"], DT),
+        "r": jnp.asarray(f["r_weights"], DT),
+        "contacts": jnp.asarray(f["contacts"], DT),
+    }
+
+
+def test_stagewise_matches_condensed_h10():
+    """Same QP, two solvers: stagewise LQR-ADMM vs the dense condensed
+    path on the oracle fixture (float64, constant B)."""
+    f = _fixture()
+    grf_ref, x_ref_sol, _, _ = oracle.solve_test_mpc_fixture()
+
+    sol = stagewise.mpc_solve(f["a_d"], f["b_d"], f["x0"], f["x_ref"],
+                              f["q"], f["r"], f["contacts"],
+                              settings=admm.ADMMSettings(polish=False))
+    u = np.asarray(sol.u)
+    # the applied (first-stage) GRF against the KKT-certified oracle
+    np.testing.assert_allclose(u[0].reshape(4, 3), grf_ref, atol=2e-3)
+    # full trajectory against the condensed solver's solution
+    np.testing.assert_allclose(u.reshape(-1), x_ref_sol, atol=5e-3)
+
+
+def _dense_reference(f, h, settings):
+    """Dense condensed QP at arbitrary H, built in numpy and solved with
+    the generic admm.solve — the cross-check the H=10-specialized
+    condense() cannot provide."""
+    a_d = np.asarray(f["a_d"])
+    b_d = np.asarray(f["b_d"])
+    x0 = np.asarray(f["x0"])
+    ref = np.tile(np.asarray(f["x_ref"])[-1], (h, 1))
+    # A_qp / B_qp block recursion (ConvexMpc.cpp:184-202 semantics)
+    a_pows = [a_d]
+    for _ in range(h - 1):
+        a_pows.append(a_pows[-1] @ a_d)
+    b_qp = np.zeros((h * 13, h * 12))
+    for i in range(h):
+        for j in range(i + 1):
+            blk = b_d if j == i else a_pows[i - j - 1] @ b_d
+            b_qp[13 * i:13 * (i + 1), 12 * j:12 * (j + 1)] = blk
+    qw = np.tile(2.0 * np.asarray(f["q"]), h)
+    rw = np.tile(2.0 * np.asarray(f["r"]), h)
+    hess = b_qp.T @ (b_qp * qw[:, None]) + np.diag(rw)
+    resid = np.concatenate([a_pows[i] @ x0 for i in range(h)]) - ref.reshape(-1)
+    grad = (b_qp * qw[:, None]).T @ resid
+
+    lb1, ub1 = srb._pyramid_bounds(f["contacts"], 0.0, 180.0, DT)
+    lb = jnp.tile(jnp.asarray(lb1)[:20], h)
+    ub = jnp.tile(jnp.asarray(ub1)[:20], h)
+
+    mv = lambda u: stagewise._stage_matvec(u.reshape(h, 12), 0.3).reshape(-1)
+    rmv = lambda y: stagewise._stage_rmatvec(y.reshape(h, 20), 0.3).reshape(-1)
+    c_dense = np.zeros((h * 20, h * 12))
+    for k in range(h * 12):
+        e = np.zeros(h * 12)
+        e[k] = 1.0
+        c_dense[:, k] = np.asarray(mv(jnp.asarray(e, DT)))
+    rmv_dense = lambda w: jnp.asarray(c_dense.T, DT) @ (w[:, None]
+                                                       * jnp.asarray(c_dense, DT))
+    sol = admm.solve(jnp.asarray(hess, DT), jnp.asarray(grad, DT),
+                     lb, ub, mv, rmv, rmv_dense, settings)
+    return sol.x
+
+
+def test_stagewise_matches_dense_h40():
+    """H=40: stagewise LQR-ADMM vs a numpy-built dense condensed QP
+    solved by the generic dense ADMM (float64). This is the O(H) vs
+    O(H^2) cross-check at a horizon the reference never supported."""
+    f = _fixture()
+    h = 40
+    x_ref = jnp.tile(f["x_ref"][-1:], (h, 1))
+    st = admm.ADMMSettings(seg_iters=80, segments=4, polish=False)
+    sol = stagewise.mpc_solve(f["a_d"], f["b_d"], f["x0"], x_ref,
+                              f["q"], f["r"], f["contacts"], settings=st)
+    u = np.asarray(sol.u)
+    assert np.isfinite(u).all()
+    x_dense = np.asarray(_dense_reference(f, h, st)).reshape(h, 12)
+    # both sides are iterative ADMM at the same schedule; agreement is
+    # solver-tolerance (measured ~6e-5 relative on the ~100 N tail)
+    np.testing.assert_allclose(u, x_dense, rtol=1e-3, atol=1e-2)
+    # feasibility: friction cone + swing-leg zeroing per stage
+    cu = np.asarray(stagewise._stage_matvec(sol.u, 0.3))
+    lb1, ub1 = srb._pyramid_bounds(f["contacts"], 0.0, 180.0, DT)
+    lb1, ub1 = np.asarray(lb1)[:20], np.asarray(ub1)[:20]
+    assert (cu - ub1[None] < 5e-3).all() and (lb1[None] - cu < 5e-3).all()
+    np.testing.assert_allclose(u[:, 3:6], 0.0, atol=5e-3)
+    np.testing.assert_allclose(u[:, 9:12], 0.0, atol=5e-3)
+
+
+def test_stagewise_batched_consistency():
+    """vmap over scenarios == per-scenario loop (float32)."""
+    f = {k: v.astype(jnp.float32) for k, v in _fixture().items()}
+    b = 4
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(np.asarray(f["x0"])[None]
+                      + 0.01 * rng.normal(size=(b, 13)), jnp.float32)
+    st = admm.ADMMSettings(seg_iters=40, segments=2, polish=False)
+
+    def one(x0):
+        return stagewise.mpc_solve(f["a_d"], f["b_d"], x0, f["x_ref"],
+                                   f["q"], f["r"], f["contacts"],
+                                   settings=st).u
+
+    batched = jax.jit(jax.vmap(one))(x0s)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(one(x0s[i])), atol=5e-4)
