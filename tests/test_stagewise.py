@@ -108,6 +108,22 @@ def test_stagewise_matches_dense_h40():
     np.testing.assert_allclose(u[:, 9:12], 0.0, atol=5e-3)
 
 
+def test_parallel_scan_matches_sequential():
+    """associative_scan LQR passes == lax.scan LQR passes (H=24)."""
+    f = _fixture()
+    h = 24
+    x_ref = jnp.tile(f["x_ref"][-1:], (h, 1))
+    st = admm.ADMMSettings(seg_iters=30, segments=2, polish=False)
+    kw = dict(settings=st)
+    u_seq = stagewise.mpc_solve(f["a_d"], f["b_d"], f["x0"], x_ref,
+                                f["q"], f["r"], f["contacts"], **kw).u
+    u_par = stagewise.mpc_solve(f["a_d"], f["b_d"], f["x0"], x_ref,
+                                f["q"], f["r"], f["contacts"],
+                                parallel_scan=True, **kw).u
+    np.testing.assert_allclose(np.asarray(u_par), np.asarray(u_seq),
+                               atol=1e-8)
+
+
 def test_stagewise_batched_consistency():
     """vmap over scenarios == per-scenario loop (float32)."""
     f = {k: v.astype(jnp.float32) for k, v in _fixture().items()}
