@@ -74,15 +74,17 @@ def _make_ctrl_bench(settings_cold, batch):
     warm MPC -> torques -> SRB plant step (the reference's whole 0.5 ms
     loop, MainGazebo.cpp:47-121, fused into one on-device scan).
 
-    Returns (init_batch, set_walk, perturb, chain_warm, chain_auto):
+    Returns (init_batch, set_walk, perturb, chain_warm, chain_batched):
     - chain_warm: warm_mode="warm" — the steady-cadence program a
       production single-robot loop executes on non-transition ticks
       (lax.cond takes only the warm branch unbatched; vmap would pay
       both branches of a cond as a select, which no deployment does).
-    - chain_auto: warm_mode="auto" — the exact production program with
-      the transition cold-solve branch; under vmap every tick pays the
-      warm+cold blend. Used for the honest closed-loop walking metric
-      and for warming the carried KKT inverse.
+    - chain_batched: controller.control_step_batched — the production
+      batched program with BATCH-LEVEL transition routing: the cold
+      branch executes only on ticks where any scenario flips contacts
+      (the cond sits outside vmap, so XLA runs one branch per tick).
+      Used for the closed-loop walking metric and for warming the
+      carried KKT inverse.
     """
     import jax
     import jax.numpy as jnp
@@ -96,26 +98,34 @@ def _make_ctrl_bench(settings_cold, batch):
     params = types.default_ctrl_params(dtype)
     dt = jnp.asarray(0.002, dtype)
 
-    def tick(c, warm_mode):
-        sensors = srb_sim.read_sensors(c.sim, model, c.ctrl.contacts,
-                                       c.stance_forces_z, dt)
-        ctrl = controller.sensor_update(c.ctrl, model, sensors, dt)
+    def observe(cs, sm, fz):
+        sensors = srb_sim.read_sensors(sm, model, cs.contacts, fz, dt)
+        return controller.sensor_update(cs, model, sensors, dt)
+
+    def plant(sm, ctrl):
+        return srb_sim.step(sm, model, ctrl.joint_torques, ctrl.contacts,
+                            ctrl.foot_pos_target_last_time, dt)
+
+    def tick_batched(c, mode):
+        ctrl = jax.vmap(observe)(c.ctrl, c.sim, c.stance_forces_z)
         # production warm schedule (controller.WARM_SETTINGS), cold
         # transition solves with the bench cold settings
-        ctrl = controller.control_step(
-            ctrl, model, params, dt, settings=settings_cold,
-            warm_mode=warm_mode)
-        sim, fz = srb_sim.step(c.sim, model, ctrl.joint_torques,
-                               ctrl.contacts,
-                               ctrl.foot_pos_target_last_time, dt)
+        if mode == "batched":
+            ctrl = controller.control_step_batched(
+                ctrl, model, params, dt, settings=settings_cold)
+        else:
+            ctrl = jax.vmap(lambda x: controller.control_step(
+                x, model, params, dt, settings=settings_cold,
+                warm_mode=mode))(ctrl)
+        sim, fz = jax.vmap(plant)(c.sim, ctrl)
         return (rollout.RolloutCarry(ctrl=ctrl, sim=sim,
                                      stance_forces_z=fz),
-                ctrl.foot_forces_grf[0, 2])
+                ctrl.foot_forces_grf[:, 0, 2])
 
-    def make_chain(warm_mode):
+    def make_chain(mode):
         def chain(c, n):
             def body(cc, _k):
-                return jax.vmap(lambda x: tick(x, warm_mode))(cc)
+                return tick_batched(cc, mode)
             c, out = jax.lax.scan(body, c, jnp.arange(n))
             return out, c
         return jax.jit(chain, static_argnums=(1,))
@@ -146,7 +156,120 @@ def _make_ctrl_bench(settings_cold, batch):
         return c._replace(sim=sim)
 
     return (jax.jit(init_batch), jax.jit(set_walk), jax.jit(perturb),
-            make_chain("warm"), make_chain("auto"))
+            make_chain("warm"), make_chain("batched"))
+
+
+def _make_stagewise_fns(settings_cold, settings_warm, h):
+    """Cold + warm-tick stagewise solvers at horizon ``h`` over the sweep
+    scenario batch (VERDICT r2 item 4: stagewise throughput in the bench
+    JSON, warm and cold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.models import srb
+    from go1_qp_mpc_controller_tpu.ops import stagewise
+
+    def prep(scn):
+        a_c = srb.calculate_A_c(scn.x0[0:3])
+        b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
+                                scn.foot_pos)
+        a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
+        x_ref = jnp.tile(scn.x_ref[-1:], (h, 1))
+        return a_d, b_d, x_ref
+
+    def cold_one(scn):
+        a_d, b_d, x_ref = prep(scn)
+        sol, warm = stagewise.mpc_solve(
+            a_d, b_d, scn.x0, x_ref, scn.q_weights, scn.r_weights,
+            scn.contacts, mu=scn.mu, settings=settings_cold,
+            return_warm=True)
+        return sol.u[0], warm
+
+    def warm_one(scn, x0, warm):
+        a_d, b_d, x_ref = prep(scn)
+        return stagewise.mpc_solve_warm(
+            a_d, b_d, x0, x_ref, scn.q_weights, scn.r_weights,
+            scn.contacts, warm, mu=scn.mu, settings=settings_warm)
+
+    cold = jax.jit(jax.vmap(cold_one))
+
+    def ticks(scn, warms, drifts, num_ticks):
+        def body(carry, _k):
+            x0, warms = carry
+            x0 = x0 + drifts
+            sol, warms = jax.vmap(warm_one)(scn, x0, warms)
+            return (x0, warms), sol.u[:, 0, 2]
+
+        (_, warms), fz = jax.lax.scan(body, (scn.x0, warms),
+                                      jnp.arange(num_ticks))
+        return fz, warms
+
+    return cold, jax.jit(ticks, static_argnums=(3,))
+
+
+def main_mesh():
+    """`bench.py --mesh`: weak-scaling sweep over mesh sizes {1, 2, 4, 8}
+    (clipped to the available devices) — per-device batch held constant,
+    scenario axis sharded over `data`. Prints ONE JSON line. On a single
+    TPU chip this documents the size-1 point; run on a slice (or the
+    virtual CPU mesh, JAX_PLATFORMS=cpu XLA_FLAGS=
+    --xla_force_host_platform_device_count=8) for the scaling curve.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from go1_qp_mpc_controller_tpu.ops import admm
+    from go1_qp_mpc_controller_tpu.parallel import mesh as mesh_lib
+    from go1_qp_mpc_controller_tpu.parallel import sweep
+
+    dtype = jnp.float32
+    devices = jax.devices()
+    # CPU: small per-device batch + short schedule so the virtual-mesh
+    # plumbing check runs in CI time; TPU: the production cold schedule
+    cpu = devices[0].platform == "cpu"
+    per_device = 32 if cpu else 4096
+    settings = (admm.ADMMSettings(seg_iters=10, segments=2, polish=False)
+                if cpu else
+                admm.ADMMSettings(seg_iters=30, segments=2, polish=False))
+    reps = 2
+    points = {}
+    for n in [1, 2, 4, 8]:
+        if n > len(devices):
+            break
+        mesh = mesh_lib.make_mesh(devices=devices[:n])
+        fn = sweep.make_sweep_fn(mesh, 0.0025, settings)
+        batch = per_device * n
+        scn = sweep.random_scenarios(jax.random.PRNGKey(0), batch, dtype)
+        scn = jax.device_put(
+            scn, mesh_lib.scenario_sharding(mesh))
+        perturb = jax.jit(
+            lambda s, k: s._replace(x0=s.x0 + 1e-4 * k))
+        scn_reps = [perturb(scn, jnp.asarray(float(k + 1), dtype))
+                    for k in range(reps)]
+        out = fn(scn)
+        jax.block_until_ready((out.grf, scn_reps))
+        t0 = time.perf_counter()
+        outs = [fn(s).grf for s in scn_reps]
+        jax.block_until_ready(outs)
+        el = (time.perf_counter() - t0) / reps
+        points[str(n)] = round(batch / el, 1)
+
+    sizes = sorted(int(k) for k in points)
+    base = points[str(sizes[0])]
+    result = {
+        "metric": "mpc_mesh_scaling",
+        "value": points[str(sizes[-1])],
+        "unit": "solves/s",
+        "vs_baseline": round(points[str(sizes[-1])] / 100000.0, 4),
+        "mode": (f"weak scaling, per-device batch {per_device}, "
+                 f"cold solves, data-axis sharding"),
+        "solves_per_s_by_mesh": points,
+        "scaling_efficiency": {
+            str(n): round(points[str(n)] / (base * n), 3)
+            for n in sizes},
+        "devices": [str(d) for d in devices[:sizes[-1]]],
+    }
+    print(json.dumps(result))
 
 
 def main():
@@ -252,11 +375,12 @@ def main():
     ctrl_batch = 4096
     ctrl_ticks = 40
     (init_batch, set_walk, perturb_c,
-     chain_warm, chain_auto) = _make_ctrl_bench(settings_cold, ctrl_batch)
+     chain_warm, chain_batched) = _make_ctrl_bench(settings_cold,
+                                                   ctrl_batch)
     c0 = init_batch(jax.random.PRNGKey(2))
-    # 6 auto ticks warm the carried KKT inverse (first ticks route to the
-    # cold branch via the transition test, exactly like production)
-    _, c_warm = chain_auto(c0, 6)
+    # 6 batched ticks warm the carried KKT inverse (first ticks route to
+    # the cold branch via the transition test, exactly like production)
+    _, c_warm = chain_batched(c0, 6)
     jax.block_until_ready(c_warm.ctrl.qp_warm_minv)
     c_reps = [perturb_c(c_warm, jnp.asarray(float(k + 1), dtype))
               for k in range(reps)]
@@ -268,18 +392,57 @@ def main():
     ctrl_elapsed = (time.perf_counter() - t0) / reps
     ctrl_rate = ctrl_batch * ctrl_ticks / ctrl_elapsed
 
-    # --- closed-loop trot rollout (production auto program: vmap pays the
-    # warm+cold cond blend every tick; contact flips genuinely occur) -----
+    # --- closed-loop trot rollout (production batched program: the cold
+    # branch executes only on contact-flip ticks via the batch-level
+    # lax.cond; flips genuinely occur at trot cadence) --------------------
     cw = set_walk(c_warm)
+    # run through the walk-onset transient (mode switch + velocity step
+    # keep the grad-drift cold trigger firing) into the steady trot limit
+    # cycle: 130 ticks covers the onset plus a full gait cycle, so the
+    # timed window sees the production steady state — flip ticks every
+    # ~60 ticks taking the batch-level cold branch, warm ticks otherwise
+    _, cw = chain_batched(cw, 130)
+    jax.block_until_ready(cw.ctrl.qp_warm_minv)
     cw_reps = [perturb_c(cw, jnp.asarray(float(k + 1), dtype))
                for k in range(reps)]
-    out, _ = chain_auto(cw, ctrl_ticks)
+    out, _ = chain_batched(cw, ctrl_ticks)
     jax.block_until_ready((out, cw_reps))
     t0 = time.perf_counter()
-    outs = [chain_auto(c, ctrl_ticks)[0] for c in cw_reps]
+    outs = [chain_batched(c, ctrl_ticks)[0] for c in cw_reps]
     jax.block_until_ready(outs)
     roll_elapsed = (time.perf_counter() - t0) / reps
     roll_rate = ctrl_batch * ctrl_ticks / roll_elapsed
+
+    # --- stagewise long-horizon solver (H=40 warm/cold, H=120 cold) ------
+    sw_batch = 1024
+    scn_sw = jax.tree.map(lambda a: a[:sw_batch], scn)
+    sw_cold_settings = admm.ADMMSettings(seg_iters=60, segments=3,
+                                         polish=False)
+    sw_warm_settings = admm.ADMMSettings(seg_iters=25, segments=1,
+                                         polish=False)
+    sw_reps = [perturb(scn_sw, jnp.asarray(float(k + 1), dtype))
+               for k in range(reps)]
+    sw_rates = {}
+    for h in (40, 120):
+        sw_cold, sw_ticks = _make_stagewise_fns(sw_cold_settings,
+                                                sw_warm_settings, h)
+        out, sw_warms = sw_cold(scn_sw)
+        jax.block_until_ready((out, sw_reps))
+        t0 = time.perf_counter()
+        outs = [sw_cold(s)[0] for s in sw_reps]
+        jax.block_until_ready(outs)
+        sw_rates[f"stagewise_h{h}_cold_solves_per_s"] = round(
+            sw_batch * reps / (time.perf_counter() - t0), 1)
+        if h == 40:
+            sw_nt = 10
+            fz, _ = sw_ticks(scn_sw, sw_warms, drifts[:sw_batch], sw_nt)
+            jax.block_until_ready(fz)
+            t0 = time.perf_counter()
+            outs = [sw_ticks(s, sw_warms, drifts[:sw_batch], sw_nt)[0]
+                    for s in sw_reps]
+            jax.block_until_ready(outs)
+            sw_rates[f"stagewise_h{h}_warm_solves_per_s"] = round(
+                sw_batch * sw_nt * reps / (time.perf_counter() - t0), 1)
 
     # --- RL policy inference (context metric; R1/R3 stack) ---------------
     from go1_qp_mpc_controller_tpu.models import policy
@@ -315,13 +478,27 @@ def main():
         "ctrl_tick_mode": ("full chain: sensors+EKF+plan+swing+warm MPC"
                            "+torques+plant, steady warm cadence"),
         "rollout_steps_per_s": round(roll_rate, 1),
-        "rollout_mode": ("closed-loop trot, production auto program "
-                         "(vmap pays warm+cold cond blend)"),
+        "rollout_mode": ("closed-loop trot, batch-level transition "
+                         "routing (cold branch only on flip ticks)"),
         "rl_policy_inferences_per_s": round(rl_rate, 1),
+        **sw_rates,
+        "stagewise_batch": sw_batch,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request (or --cpu) via jax.config so the virtual-mesh
+    # scaling mode actually runs on host devices
+    if ("--cpu" in sys.argv
+            or os.environ.get("JAX_PLATFORMS", "") == "cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if "--mesh" in sys.argv:
+        main_mesh()
+    else:
+        main()

@@ -27,6 +27,7 @@ from go1_qp_mpc_controller_tpu.config import params as P
 from go1_qp_mpc_controller_tpu.ctrl import gait, swing, terrain, torque
 from go1_qp_mpc_controller_tpu.models import kinematics, srb
 from go1_qp_mpc_controller_tpu.ops import admm, ekf, qp as balance
+from go1_qp_mpc_controller_tpu.ops import stagewise
 from go1_qp_mpc_controller_tpu.utils import rotations
 
 MPC = 1   # stance_leg_control_type values (A1CtrlStates.h:330)
@@ -225,59 +226,224 @@ def compute_grf_mpc(state, model, params,
                              warm_y=state.qp_warm_y)
         warm_out = admm.WarmState(x=sol.x, y=sol.y, rho=state.qp_warm_rho,
                                   minv=state.qp_warm_minv)
+        return _finish_grf(state, sol.x, warm_out,
+                           grad_carry=lazy.gradient)
+
+    warm_in, transition = _transition_test(state, lazy, warm_settings)
+    cold_branch, warm_branch = _grf_branches(settings, warm_settings)
+
+    if warm_mode == "warm":
+        x_sol, warm_out = warm_branch(lazy, warm_in)
+    elif warm_mode == "cold":
+        # every tick takes the transition branch (diagnostics / the exact
+        # program compute_grf_mpc_batched routes mixed ticks to)
+        x_sol, warm_out = cold_branch(lazy, warm_in)
     else:
-        warm_in = admm.WarmState(x=state.qp_warm_x, y=state.qp_warm_y,
-                                 rho=jnp.clip(state.qp_warm_rho,
-                                              WARM_RHO_MIN, WARM_RHO_MAX),
-                                 minv=state.qp_warm_minv)
-        # a cold solve is forced when (a) the contact pattern flipped (the
-        # KKT equality pattern changed -> carried inverse invalid, the
-        # solve_warm caveat in ops/admm.py) or (b) the basin probe says
-        # the carry is unrefinable (post-latch garbage, large state jump)
-        # — the in-solver short-schedule fallback cannot converge a cold
-        # init and would emit several garbage-GRF ticks
-        grad_drift = (jnp.max(jnp.abs(lazy.gradient - state.qp_warm_grad))
-                      / (jnp.max(jnp.abs(lazy.gradient)) + 1e-9))
-        contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
-        transition = (contact_flip
-                      | (grad_drift > WARM_DRIFT_TOL)
-                      | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
-        # a flip changes the active set: the carried duals belong to the
-        # OLD equality pattern and poison even a full cold solve (measured
-        # 31 N off a fresh-start reference at trot flips); restart the
-        # duals and zero the newly-infeasible primal entries instead
-        swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
-        x_flip = warm_in.x * (1.0 - jnp.tile(swing_u, P.PLAN_HORIZON))
-        warm_in = warm_in._replace(
-            x=jnp.where(contact_flip, x_flip, warm_in.x),
-            y=jnp.where(contact_flip, jnp.zeros_like(warm_in.y),
-                        warm_in.y))
-        # transition solves adapt rho only inside the warm-viable band so
-        # the carried (rho, minv) pair stays self-consistent
-        settings_t = settings._replace(
-            rho_min=max(settings.rho_min, WARM_RHO_MIN),
-            rho_max=min(settings.rho_max, WARM_RHO_MAX))
+        x_sol, warm_out = jax.lax.cond(transition, cold_branch,
+                                       warm_branch, lazy, warm_in)
+    return _finish_grf(state, x_sol, warm_out, grad_carry=lazy.gradient)
 
-        def cold_branch(lz, warm):
-            qp = srb.CondensedQP(hessian=srb.lazy_hessian(lz),
-                                 gradient=lz.gradient, lb=lz.lb, ub=lz.ub)
-            sol, w = admm.mpc_solve(qp, settings_t, warm_x=warm.x,
-                                    warm_y=warm.y, warm_rho=warm.rho,
-                                    return_warm=True)
-            return sol.x, w
 
-        def warm_branch(lz, warm):
-            sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
-            return sol.x, w
+def _transition_test(state, lazy, warm_settings):
+    """Per-scenario cold-route test + warm-carry repair.
 
-        if warm_mode == "warm":
-            x_sol, warm_out = warm_branch(lazy, warm_in)
-        else:
-            x_sol, warm_out = jax.lax.cond(transition, cold_branch,
-                                           warm_branch, lazy, warm_in)
+    A cold solve is forced when (a) the contact pattern flipped (the KKT
+    equality pattern changed -> carried inverse invalid, the solve_warm
+    caveat in ops/admm.py), (b) the gradient drifted beyond the warm
+    tick's tracking range, or (c) the basin probe says the carry is
+    unrefinable (post-latch garbage, large state jump) — the in-solver
+    short-schedule fallback cannot converge a cold init and would emit
+    several garbage-GRF ticks.
 
-    grf_x = sol.x if warm_settings is None else x_sol
-    return _finish_grf(state, grf_x, warm_out, grad_carry=lazy.gradient)
+    Returns (warm_in, transition): the repaired WarmState (flip ticks
+    restart the duals and zero newly-infeasible primal entries — the
+    carried duals belong to the OLD equality pattern and poison even a
+    full cold solve, measured 31 N off a fresh-start reference at trot
+    flips) and the () bool route flag.
+    """
+    warm_in = admm.WarmState(x=state.qp_warm_x, y=state.qp_warm_y,
+                             rho=jnp.clip(state.qp_warm_rho,
+                                          WARM_RHO_MIN, WARM_RHO_MAX),
+                             minv=state.qp_warm_minv)
+    grad_drift = (jnp.max(jnp.abs(lazy.gradient - state.qp_warm_grad))
+                  / (jnp.max(jnp.abs(lazy.gradient)) + 1e-9))
+    contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
+    transition = (contact_flip
+                  | (grad_drift > WARM_DRIFT_TOL)
+                  | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
+    swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
+    x_flip = warm_in.x * (1.0 - jnp.tile(swing_u, P.PLAN_HORIZON))
+    warm_in = warm_in._replace(
+        x=jnp.where(contact_flip, x_flip, warm_in.x),
+        y=jnp.where(contact_flip, jnp.zeros_like(warm_in.y),
+                    warm_in.y))
+    return warm_in, transition
+
+
+def _grf_branches(settings, warm_settings):
+    """(cold_branch, warm_branch) pair: LazyCondensedQP x WarmState ->
+    (x_sol, WarmState). Transition solves adapt rho only inside the
+    warm-viable band so the carried (rho, minv) pair stays
+    self-consistent."""
+    settings_t = settings._replace(
+        rho_min=max(settings.rho_min, WARM_RHO_MIN),
+        rho_max=min(settings.rho_max, WARM_RHO_MAX))
+
+    def cold_branch(lz, warm):
+        qp = srb.CondensedQP(hessian=srb.lazy_hessian(lz),
+                             gradient=lz.gradient, lb=lz.lb, ub=lz.ub)
+        sol, w = admm.mpc_solve(qp, settings_t, warm_x=warm.x,
+                                warm_y=warm.y, warm_rho=warm.rho,
+                                return_warm=True)
+        return sol.x, w
+
+    def warm_branch(lz, warm):
+        sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
+        return sol.x, w
+
+    return cold_branch, warm_branch
+
+
+def compute_grf_mpc_batched(states, model, params,
+                            settings=admm.ADMMSettings(),
+                            use_terrain_adapt=True,
+                            warm_settings=WARM_SETTINGS):
+    """Batched MPC GRF solve with BATCH-LEVEL transition routing.
+
+    The per-scenario ``lax.cond`` in :func:`compute_grf_mpc` vectorizes
+    into a select under vmap: every scenario pays the full cold solve
+    (2 segments x 30 Schulz-laden iterations) every tick even when no
+    scenario is at a gait transition — the 33% rollout tax VERDICT r2
+    item 3 flags. This entry lifts the routing decision above the batch:
+    the cond predicate is ``jnp.any(transition)``, so the cond sits
+    OUTSIDE vmap and XLA executes only the taken branch per tick. Batched
+    trot rollouts synchronize their gait counters, so flip ticks cluster
+    (~2 of every 120 ticks at trot cadence) and the steady-state program
+    is the pure warm tick.
+
+    Mixed ticks (some scenarios transitioning, some not) route the WHOLE
+    batch to the cold solve — never less accurate than the per-scenario
+    blend (the cold solve warm-starts from each scenario's primal/dual
+    carry and is a strict superset of the warm tick's work), just not
+    cheaper on those rare ticks. The reference's analog is OSQP spending
+    iterations only when its warm start is off
+    (A1RobotControl.cpp:522-540).
+
+    Args:
+      states: CtrlState with a leading batch axis on every leaf.
+      model, params: unbatched RobotModel / CtrlParams.
+
+    Returns:
+      updated batched CtrlState.
+    """
+
+    def prepare(state):
+        state = terrain.terrain_adaptation(state, use_terrain_adapt)
+        x0 = srb.mpc_state(state.root_euler, state.root_pos,
+                           state.root_ang_vel, state.root_lin_vel)
+        vel_d_world = state.root_rot_mat @ state.root_lin_vel_d
+        x_ref = srb.reference_trajectory(
+            state.root_pos, state.root_euler, state.root_pos_d,
+            state.root_euler_d, state.root_ang_vel_d, vel_d_world,
+            params.mpc_dt)
+        a_c = srb.calculate_A_c(state.root_euler)
+        foot_pos_mpc = jnp.where(state.contacts[:, None],
+                                 state.foot_pos_abs,
+                                 state.foot_pos_target_abs)
+        b_c = srb.calculate_B_c(model.mass, model.trunk_inertia,
+                                state.root_rot_mat, foot_pos_mpc)
+        a_d, b_d = srb.discretize(a_c, b_c, params.mpc_dt)
+        lazy = srb.condense_nilpotent_lazy(
+            a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
+            state.contacts)
+        warm_in, transition = _transition_test(state, lazy, warm_settings)
+        return state, lazy, warm_in, transition
+
+    states, lazy, warm_in, transition = jax.vmap(prepare)(states)
+    cold_branch, warm_branch = _grf_branches(settings, warm_settings)
+    x_sol, warm_out = jax.lax.cond(
+        jnp.any(transition),
+        jax.vmap(cold_branch), jax.vmap(warm_branch), lazy, warm_in)
+    return jax.vmap(_finish_grf)(states, x_sol, warm_out, lazy.gradient)
+
+
+def compute_grf_mpc_stagewise(state, model, params,
+                              settings=admm.ADMMSettings(),
+                              use_terrain_adapt=True,
+                              warm_settings=WARM_SETTINGS, horizon=40):
+    """Long-horizon MPC GRF solve via the stagewise O(H) Riccati-ADMM
+    solver (ops/stagewise.py) — the production path for horizons the
+    condensed H=10 design cannot reach (SURVEY section 5's long-context
+    axis; supersedes the O(H^2) ConvexMpc.cpp:158-245 condensation).
+
+    Same warm/cold cadence as :func:`compute_grf_mpc`: steady ticks run
+    one short warm segment from the carried primal/dual (the Riccati
+    refactorization is exact per tick, so no KKT-inverse carry or basin
+    safeguard exists), while contact flips and gradient jumps route to a
+    full cold solve under ``lax.cond``. The CtrlState must be built with
+    ``init_ctrl_state(horizon=H)`` (carry fields sized 12H/20H;
+    qp_warm_minv is a placeholder on this path).
+
+    Args:
+      horizon: static H (> 0); independent of PLAN_HORIZON.
+    """
+    h = horizon
+    state = terrain.terrain_adaptation(state, use_terrain_adapt)
+    x0 = srb.mpc_state(state.root_euler, state.root_pos,
+                       state.root_ang_vel, state.root_lin_vel)
+    vel_d_world = state.root_rot_mat @ state.root_lin_vel_d
+    x_ref = srb.reference_trajectory(
+        state.root_pos, state.root_euler, state.root_pos_d,
+        state.root_euler_d, state.root_ang_vel_d, vel_d_world,
+        params.mpc_dt, horizon=h)
+    a_c = srb.calculate_A_c(state.root_euler)
+    foot_pos_mpc = jnp.where(state.contacts[:, None], state.foot_pos_abs,
+                             state.foot_pos_target_abs)
+    b_c = srb.calculate_B_c(model.mass, model.trunk_inertia,
+                            state.root_rot_mat, foot_pos_mpc)
+    a_d, b_d = srb.discretize(a_c, b_c, params.mpc_dt)
+
+    q_lin = stagewise.linear_term(a_d, b_d, x0, x_ref, params.q_weights,
+                                  params.r_weights)
+    grad_drift = (jnp.max(jnp.abs(q_lin.reshape(-1) - state.qp_warm_grad))
+                  / (jnp.max(jnp.abs(q_lin)) + 1e-9))
+    contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
+    transition = contact_flip | (grad_drift > WARM_DRIFT_TOL)
+
+    # flip repair, mirroring the condensed path: restart duals, zero the
+    # newly-infeasible swing primal entries
+    u_carry = state.qp_warm_x.reshape(h, P.NUM_DOF)
+    y_carry = state.qp_warm_y.reshape(h, P.MPC_CONSTRAINT_DIM)
+    swing_u = jnp.repeat(~state.contacts, 3).astype(u_carry.dtype)
+    u_carry = jnp.where(contact_flip, u_carry * (1.0 - swing_u)[None, :],
+                        u_carry)
+    y_carry = jnp.where(contact_flip, jnp.zeros_like(y_carry), y_carry)
+    warm_in = stagewise.StagewiseWarmState(
+        u=u_carry, y=y_carry,
+        rho=jnp.clip(state.qp_warm_rho, WARM_RHO_MIN, WARM_RHO_MAX),
+        q_lin=state.qp_warm_grad.reshape(h, P.NUM_DOF))
+    settings_t = settings._replace(
+        rho_min=max(settings.rho_min, WARM_RHO_MIN),
+        rho_max=min(settings.rho_max, WARM_RHO_MAX))
+
+    def cold_branch(warm):
+        sol, w = stagewise.mpc_solve(
+            a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
+            state.contacts, settings=settings_t, return_warm=True)
+        return sol, w
+
+    def warm_branch(warm):
+        return stagewise.mpc_solve_warm(
+            a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
+            state.contacts, warm, settings=warm_settings)
+
+    sol, warm_out = jax.lax.cond(transition, cold_branch, warm_branch,
+                                 warm_in)
+    warm_flat = admm.WarmState(x=warm_out.u.reshape(-1),
+                               y=warm_out.y.reshape(-1),
+                               rho=warm_out.rho, minv=state.qp_warm_minv)
+    return _finish_grf(state, sol.u.reshape(-1), warm_flat,
+                       grad_carry=q_lin.reshape(-1))
 
 
 def _finish_grf(state, grf_x, warm_out, grad_carry):
@@ -320,22 +486,51 @@ def compute_grf_qp(state, model, params, settings=admm.ADMMSettings()):
 def control_step(state, model, params, dt, solver_type=MPC,
                  settings=admm.ADMMSettings(), use_terrain_adapt=True,
                  warm_settings=WARM_SETTINGS, receding_horizon=False,
-                 warm_mode="auto"):
+                 warm_mode="auto", horizon=None):
     """One full controller tick; returns updated CtrlState (incl. torques).
 
     Fuses the reference's two-thread pipeline into one jitted program:
     update_plan -> swing control -> GRF solve -> torque mapping
     (MainGazebo.cpp:47-121 collapsed; the estimator runs in
     :func:`sensor_update`). The MPC branch runs the warm-started
-    production solver by default (see :func:`compute_grf_mpc`).
+    production solver by default (see :func:`compute_grf_mpc`); a static
+    ``horizon`` other than PLAN_HORIZON routes the GRF solve to the
+    stagewise O(H) solver (:func:`compute_grf_mpc_stagewise`; the state
+    must come from ``init_ctrl_state(horizon=...)``).
     """
     state = gait.update_plan(state, params, model)
     state = swing.generate_swing_legs_ctrl(state, params, dt)
     if solver_type == MPC:
-        state = compute_grf_mpc(state, model, params, settings,
-                                use_terrain_adapt, warm_settings,
-                                receding_horizon, warm_mode)
+        if horizon is not None and horizon != P.PLAN_HORIZON:
+            state = compute_grf_mpc_stagewise(
+                state, model, params, settings, use_terrain_adapt,
+                warm_settings, horizon)
+        else:
+            state = compute_grf_mpc(state, model, params, settings,
+                                    use_terrain_adapt, warm_settings,
+                                    receding_horizon, warm_mode)
     else:
         state = compute_grf_qp(state, model, params, settings)
     state = torque.compute_joint_torques(state, params)
     return state
+
+
+def control_step_batched(states, model, params, dt,
+                         settings=admm.ADMMSettings(),
+                         use_terrain_adapt=True,
+                         warm_settings=WARM_SETTINGS):
+    """Batched :func:`control_step` (MPC branch) with batch-level
+    transition routing — see :func:`compute_grf_mpc_batched`. The
+    plan/swing/torque stages vmap per scenario; only the GRF solve's
+    cold-vs-warm decision is lifted above the batch.
+
+    Args:
+      states: CtrlState with a leading batch axis; model/params unbatched.
+    """
+    states = jax.vmap(lambda s: gait.update_plan(s, params, model))(states)
+    states = jax.vmap(
+        lambda s: swing.generate_swing_legs_ctrl(s, params, dt))(states)
+    states = compute_grf_mpc_batched(states, model, params, settings,
+                                     use_terrain_adapt, warm_settings)
+    return jax.vmap(
+        lambda s: torque.compute_joint_torques(s, params))(states)

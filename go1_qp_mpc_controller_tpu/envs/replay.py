@@ -119,6 +119,71 @@ def sine_joint_signal(num_steps, dt, amplitude=0.3, freq_hz=0.5,
         2 * np.pi * freq_hz * t + phase)
 
 
+def load_recorded_signal(path, num_joints=12):
+    """Load a recorded joint-signal log in the data_collection format.
+
+    The reference ships an actual 799-sample x 12-joint recorded log
+    (src/data_collection/data/qSineSignal.txt, written by
+    signal_sine.cpp's saveSignalAsFile as whitespace-separated
+    fixed-width columns) that its Lowlevel tool replays onto the robot.
+    This loader parses that format.
+
+    Returns:
+      (T, num_joints) float64 array of joint positions.
+    """
+    q = np.loadtxt(path, dtype=np.float64)
+    if q.ndim == 1:
+        q = q.reshape(-1, num_joints)
+    if q.shape[1] != num_joints:
+        raise ValueError(
+            f"expected {num_joints} columns, got {q.shape[1]} in {path}")
+    return q
+
+
+def save_recorded_signal(path, q_signal):
+    """Write a joint-signal log in the data_collection fixed-width
+    format (round-trips through :func:`load_recorded_signal` and the
+    reference's own reader)."""
+    np.savetxt(path, np.asarray(q_signal), fmt="%11.6f", delimiter=" ")
+
+
+def replay_joint_signal(q_signal, model, dt, kp=180.0, kd=8.0,
+                        height=0.3, dtype=jnp.float32):
+    """Replay a recorded joint-position log onto the PD plant.
+
+    The TPU-native equivalent of the data_collection Lowlevel replay
+    (signal_sine.cpp semantics: position-mode commands through the motor
+    PD loop at fixed gains) — one lax.scan over the log, entirely
+    on-device.
+
+    Args:
+      q_signal: (T, 12) joint position targets (e.g. from
+        :func:`load_recorded_signal`).
+      model: RobotModel.
+      dt: () replay period.
+
+    Returns:
+      dict with realized (T, 12) joint positions and (T, 3) root path.
+    """
+    from go1_qp_mpc_controller_tpu.envs import srb_sim
+
+    sim = srb_sim.init_sim_state(model, height, dtype)
+    contacts = jnp.ones(4, bool)
+    stand_targets = sim.foot_pos_world - sim.root_pos
+    kp_v = jnp.full((12,), kp, dtype)
+    kd_v = jnp.full((12,), kd, dtype)
+    zero_tau = jnp.zeros((12,), dtype)
+
+    def tick(sm, q_t):
+        sm_new, _ = srb_sim.step_pd(sm, model, q_t, kp_v, kd_v, zero_tau,
+                                    contacts, stand_targets, dt)
+        return sm_new, {"joint_pos": sm_new.prev_joint_pos,
+                        "root_pos": sm_new.root_pos}
+
+    _, trace = jax.lax.scan(tick, sim, jnp.asarray(q_signal, dtype))
+    return trace
+
+
 def motion_scheme(vel_magnitudes=(0.2,), directions=8, leg_seconds=3.0,
                   dt=0.002, body_heights=(0.0,), foot_heights=(0.2,)):
     """Scripted velocity "motion schemes" for data-collection sweeps.

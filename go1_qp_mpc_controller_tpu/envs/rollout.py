@@ -38,11 +38,17 @@ class RolloutTrace(NamedTuple):
 
 
 def init_carry(model, params, height=0.3, movement_mode=0,
-               dtype=jnp.float32, ground_coef=None):
-    """Standing start: plant at ``height``, controller state synced to it."""
+               dtype=jnp.float32, ground_coef=None,
+               horizon=None):
+    """Standing start: plant at ``height``, controller state synced to it.
+
+    ``horizon`` sizes the warm-carry fields (types.init_ctrl_state);
+    non-default values select the stagewise long-horizon controller path.
+    """
     sim = srb_sim.init_sim_state(model, height, dtype,
                                  ground_coef=ground_coef)
-    ctrl = types.init_ctrl_state(model, dtype)
+    kw = {} if horizon is None else {"horizon": horizon}
+    ctrl = types.init_ctrl_state(model, dtype, **kw)
     feet_body = sim.foot_pos_world - sim.root_pos
     ekf_x, ekf_p = ekf.init_state(sim.root_rot, feet_body)
     ctrl = ctrl._replace(
@@ -66,7 +72,7 @@ def rollout(carry, model, params, num_steps, dt,
             settings=admm.ADMMSettings(),
             command_fn=None, estimate=True, use_terrain_adapt=True,
             ground_coef=None, warm_settings=controller.WARM_SETTINGS,
-            warm_mode="auto"):
+            warm_mode="auto", horizon=None):
     """Run ``num_steps`` closed-loop ticks; returns (carry, RolloutTrace).
 
     Args:
@@ -81,6 +87,9 @@ def rollout(carry, model, params, num_steps, dt,
         GazeboA1ROS.cpp:124-188).
       estimate: static — True runs the EKF in the loop (configs[3]);
         False feeds plant ground truth (isolates control from estimation).
+      horizon: static MPC horizon; non-default routes the GRF solve to
+        the stagewise O(H) path (carry must come from
+        ``init_carry(horizon=...)``).
     """
 
     def tick(c, step_idx):
@@ -100,11 +109,77 @@ def rollout(carry, model, params, num_steps, dt,
         ctrl = controller.control_step(
             ctrl, model, params, dt, solver_type=solver_type,
             settings=settings, use_terrain_adapt=use_terrain_adapt,
-            warm_settings=warm_settings, warm_mode=warm_mode)
+            warm_settings=warm_settings, warm_mode=warm_mode,
+            horizon=horizon)
 
         sim_new, forces_z = srb_sim.step(
             sim, model, ctrl.joint_torques, ctrl.contacts,
             ctrl.foot_pos_target_last_time, dt, ground_coef=ground_coef)
+
+        trace = RolloutTrace(
+            root_pos=sim_new.root_pos,
+            root_euler=ctrl.root_euler,
+            root_lin_vel=sim_new.root_lin_vel,
+            joint_torques=ctrl.joint_torques,
+            foot_forces_grf=ctrl.foot_forces_grf,
+            contacts=ctrl.contacts,
+            est_root_pos=ctrl.root_pos,
+            terrain_pitch=ctrl.terrain_pitch_angle,
+        )
+        return RolloutCarry(ctrl=ctrl, sim=sim_new,
+                            stance_forces_z=forces_z), trace
+
+    return jax.lax.scan(tick, carry, jnp.arange(num_steps))
+
+
+def rollout_batched(carry, model, params, num_steps, dt,
+                    settings=admm.ADMMSettings(), command_fn=None,
+                    estimate=True, use_terrain_adapt=True,
+                    ground_coef=None,
+                    warm_settings=controller.WARM_SETTINGS):
+    """Batched closed-loop rollout with batch-level transition routing.
+
+    The production batched-sweep program: where ``vmap(rollout)`` turns
+    the per-scenario warm/cold ``lax.cond`` into a select that pays the
+    full cold solve for every scenario every tick, this scan calls
+    :func:`controller.control_step_batched` — the cold branch executes
+    only on ticks where ANY scenario is at a gait transition (see
+    compute_grf_mpc_batched). MPC solver type only.
+
+    Args:
+      carry: RolloutCarry with a leading batch axis on every leaf.
+      command_fn: optional (step_idx, ctrl_state) -> ctrl_state, applied
+        per scenario (vmapped over the batch).
+
+    Returns:
+      (carry, RolloutTrace) — trace leaves are (T, B, ...) (scan-major;
+      ``vmap(rollout)`` yields (B, T, ...)).
+    """
+
+    def tick(c, step_idx):
+        ctrl, sim = c.ctrl, c.sim
+        if command_fn is not None:
+            ctrl = jax.vmap(lambda cs: command_fn(step_idx, cs))(ctrl)
+
+        def observe(cs, sm, fz):
+            sensors = srb_sim.read_sensors(sm, model, cs.contacts, fz, dt)
+            cs = controller.sensor_update(cs, model, sensors, dt,
+                                          estimate=estimate)
+            if not estimate:
+                cs = cs._replace(root_pos=sm.root_pos,
+                                 root_lin_vel=sm.root_lin_vel)
+            return cs
+
+        ctrl = jax.vmap(observe)(ctrl, sim, c.stance_forces_z)
+        ctrl = controller.control_step_batched(
+            ctrl, model, params, dt, settings=settings,
+            use_terrain_adapt=use_terrain_adapt,
+            warm_settings=warm_settings)
+        sim_new, forces_z = jax.vmap(
+            lambda sm, tau, con, tgt: srb_sim.step(
+                sm, model, tau, con, tgt, dt, ground_coef=ground_coef)
+        )(sim, ctrl.joint_torques, ctrl.contacts,
+          ctrl.foot_pos_target_last_time)
 
         trace = RolloutTrace(
             root_pos=sim_new.root_pos,

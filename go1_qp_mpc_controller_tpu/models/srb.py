@@ -582,33 +582,38 @@ def receding_b_d_list(mass, trunk_inertia, root_rot_mat, foot_pos,
 
 def reference_trajectory(root_pos, root_euler, root_pos_d, root_euler_d,
                          root_ang_vel_d, root_lin_vel_d_world, mpc_dt,
-                         gravity=P.GRAVITY):
+                         gravity=P.GRAVITY, horizon=H):
     """Desired 13-state trajectory over the horizon (A1RobotControl.cpp:470-488).
 
     Integrates the desired world-frame velocity from the *current* position;
     yaw integrates the desired yaw rate from the current yaw; height tracks
     the desired height; vertical velocity reference is 0.
 
+    Args:
+      horizon: static step count (default PLAN_HORIZON; the stagewise
+        long-horizon path passes arbitrary H).
+
     Returns:
-      (H, 13) reference states.
+      (horizon, 13) reference states.
     """
     dtype = root_pos.dtype
-    i1 = jnp.arange(1, H + 1, dtype=dtype)[:, None]      # (H, 1)
-    zeros = jnp.zeros((H,), dtype)
+    h = horizon
+    i1 = jnp.arange(1, h + 1, dtype=dtype)[:, None]      # (h, 1)
+    zeros = jnp.zeros((h,), dtype)
     ref = jnp.stack([
-        jnp.full((H,), root_euler_d[0], dtype),
-        jnp.full((H,), root_euler_d[1], dtype),
+        jnp.full((h,), root_euler_d[0], dtype),
+        jnp.full((h,), root_euler_d[1], dtype),
         root_euler[2] + root_ang_vel_d[2] * mpc_dt * i1[:, 0],
         root_pos[0] + root_lin_vel_d_world[0] * mpc_dt * i1[:, 0],
         root_pos[1] + root_lin_vel_d_world[1] * mpc_dt * i1[:, 0],
-        jnp.full((H,), root_pos_d[2], dtype),
-        jnp.full((H,), root_ang_vel_d[0], dtype),
-        jnp.full((H,), root_ang_vel_d[1], dtype),
-        jnp.full((H,), root_ang_vel_d[2], dtype),
-        jnp.full((H,), root_lin_vel_d_world[0], dtype),
-        jnp.full((H,), root_lin_vel_d_world[1], dtype),
+        jnp.full((h,), root_pos_d[2], dtype),
+        jnp.full((h,), root_ang_vel_d[0], dtype),
+        jnp.full((h,), root_ang_vel_d[1], dtype),
+        jnp.full((h,), root_ang_vel_d[2], dtype),
+        jnp.full((h,), root_lin_vel_d_world[0], dtype),
+        jnp.full((h,), root_lin_vel_d_world[1], dtype),
         zeros,
-        jnp.full((H,), -gravity, dtype),
+        jnp.full((h,), -gravity, dtype),
     ], axis=-1)
     return ref
 

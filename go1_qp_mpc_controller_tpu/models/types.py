@@ -182,11 +182,19 @@ def default_ctrl_params(dtype=jnp.float32):
     )
 
 
-def init_ctrl_state(model, dtype=jnp.float32):
+def init_ctrl_state(model, dtype=jnp.float32, horizon=P.PLAN_HORIZON):
     """Fresh controller state in the default stand pose.
 
     Gait counters start at the trot offsets (0, 120, 120, 0)
     (A1CtrlStates.h:323-327).
+
+    Args:
+      horizon: MPC horizon the warm-carry fields are sized for. The
+        default PLAN_HORIZON=10 selects the condensed solver's shapes
+        (120/200 + the carried KKT inverse); any other value sizes the
+        primal/dual/gradient carries for the stagewise long-horizon
+        solver (controller.compute_grf_mpc_stagewise), which carries no
+        KKT inverse — qp_warm_minv becomes a (1, 1) placeholder.
     """
     eye3 = jnp.eye(3, dtype=dtype)
     z3 = jnp.zeros((3,), dtype)
@@ -235,12 +243,14 @@ def init_ctrl_state(model, dtype=jnp.float32):
         estimator_x=jnp.zeros((18,), dtype),
         estimator_P=3.0 * jnp.eye(18, dtype=dtype),
         estimated_contacts=jnp.zeros((4,), bool),
-        qp_warm_x=jnp.zeros((P.MPC_NV,), dtype),
-        qp_warm_y=jnp.zeros((P.MPC_NC,), dtype),
+        qp_warm_x=jnp.zeros((P.NUM_DOF * horizon,), dtype),
+        qp_warm_y=jnp.zeros((P.MPC_CONSTRAINT_DIM * horizon,), dtype),
         qp_warm_rho=jnp.asarray(0.1, dtype),
-        qp_warm_minv=jnp.eye(P.MPC_NV, dtype=dtype),
+        qp_warm_minv=(jnp.eye(P.MPC_NV, dtype=dtype)
+                      if horizon == P.PLAN_HORIZON
+                      else jnp.zeros((1, 1), dtype)),
         # all-false differs from every reachable schedule (stand = all
         # stance), so the first MPC tick always takes the cold branch
         qp_warm_contacts=jnp.zeros((4,), bool),
-        qp_warm_grad=jnp.zeros((P.MPC_NV,), dtype),
+        qp_warm_grad=jnp.zeros((P.NUM_DOF * horizon,), dtype),
     )

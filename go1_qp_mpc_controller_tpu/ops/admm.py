@@ -49,6 +49,14 @@ class ADMMSettings(NamedTuple):
     """
     seg_iters: int = 50
     segments: int = 4
+    # iteration count for the FIRST segment only (0 = seg_iters). The
+    # cold path spends segment 1 at the generic rho0 = 0.1 — most of its
+    # iterations contribute nothing once rho adapts (measured: 30+30 and
+    # 20+30 cold schedules give identical accuracy). A short first
+    # segment (~10 iterations) is enough for the OSQP residual-ratio
+    # rule to find the per-scenario rho; the second segment then does
+    # the real work at the right step size.
+    first_seg_iters: int = 0
     rho: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
@@ -339,8 +347,15 @@ def _pallas_schulz_fns(coeffs, iters):
         return pallas_admm.schulz_inverse_batch(m[None], iters,
                                                 coeffs=coeffs)[0]
 
+    def _bcast(x, batched, axis_size):
+        # a caller's vmap may batch only some operands (e.g. a shared warm
+        # inverse across scenarios); materialize the broadcast so the
+        # kernel always sees (B, n, n) operands
+        return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
     @cold.def_vmap
     def _cold_rule(axis_size, in_batched, m):
+        m = _bcast(m, in_batched[0], axis_size)
         return pallas_admm.schulz_inverse_batch(m, iters,
                                                 coeffs=coeffs), True
 
@@ -351,6 +366,8 @@ def _pallas_schulz_fns(coeffs, iters):
 
     @warm.def_vmap
     def _warm_rule(axis_size, in_batched, m, x0):
+        m = _bcast(m, in_batched[0], axis_size)
+        x0 = _bcast(x0, in_batched[1], axis_size)
         return pallas_admm.schulz_inverse_batch(m, iters, x0=x0,
                                                 coeffs=coeffs), True
 
@@ -435,7 +452,7 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
             else warm_rho)
     z0 = jnp.clip(matvec(x0), lb_f, ub_f)
 
-    def segment(carry, minv_prev, rho_of_minv):
+    def segment(carry, minv_prev, rho_of_minv, seg_iters):
         x, z, y, rho = carry
         rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
         m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
@@ -456,7 +473,7 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
             y_new = y + rho_vec * (z_mid - z_new)
             return x_new, z_new, y_new
 
-        x, z, y = jax.lax.fori_loop(0, settings.seg_iters, body, (x, z, y))
+        x, z, y = jax.lax.fori_loop(0, seg_iters, body, (x, z, y))
 
         # adaptive rho (OSQP eq. 5.2): relative primal/dual residual ratio
         cx = matvec(x)
@@ -487,8 +504,12 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     carry = (x0, z0, y0, rho0)
     minv = None
     rho_of_minv = rho0
-    for _ in range(settings.segments):
-        carry, minv, rho_of_minv = segment(carry, minv, rho_of_minv)
+    for k in range(settings.segments):
+        iters_k = (settings.first_seg_iters
+                   if (k == 0 and settings.first_seg_iters > 0)
+                   else settings.seg_iters)
+        carry, minv, rho_of_minv = segment(carry, minv, rho_of_minv,
+                                           iters_k)
     x, z, y, rho = carry
 
     # polish/refine are POST-processes on the returned solution; the warm

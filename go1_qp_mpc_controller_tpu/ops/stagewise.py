@@ -57,6 +57,24 @@ class StagewiseSolution(NamedTuple):
     dual_res: jnp.ndarray     # () max |Pu + q + C'y| (scaled units)
 
 
+class StagewiseWarmState(NamedTuple):
+    """Cross-tick carry for the stagewise solver — the long-horizon
+    analog of admm.WarmState. No KKT inverse is carried: the per-tick
+    "factorization" is the O(H) Riccati pass, re-run each tick against
+    the drifted (A, B, rho) (it costs about two ADMM iterations, unlike
+    the dense path's O(n^3) inversion).
+
+    Attributes:
+      u: (H, 12) primal carry; y: (H, 20) dual carry (unscaled).
+      rho: () carried step size.
+      q_lin: (H, 12) the linear term the carry solved (drift trigger).
+    """
+    u: jnp.ndarray
+    y: jnp.ndarray
+    rho: jnp.ndarray
+    q_lin: jnp.ndarray
+
+
 def _stage_matvec(u, mu):
     """(..., 12) -> (..., 20): per-stage friction-pyramid rows
     (srb.constraint_matvec structure, one stage)."""
@@ -102,24 +120,29 @@ def _ctc_dense(rho_vec, mu, dtype):
     return jax.scipy.linalg.block_diag(*blocks)
 
 
-def _riccati_factor(a_d, b_d, q_diag, rbar):
+def _riccati_factor(a_d, b_d, q_diag, rbar, r_diag=None):
     """Backward Riccati factorization (once per rho segment).
 
     Args:
       a_d: (13, 13); b_d: (H, 13, 12) per-stage B.
       q_diag: (13,) scaled state cost diagonal (applies to x_1..x_H).
       rbar: (12, 12) scaled augmented input cost (shared across stages).
+      r_diag: optional (12,) pure input-cost diagonal added to the
+        Hessian-diagonal bound (the condensed P diagonal is
+        diag(B'TB) + diag(R); segment factorizations that only consume
+        the gains may omit it).
 
     Returns dict of per-stage tensors:
       k:    (H, 12, 13) feedback gains G^-1 B' S A
       ginv: (H, 12, 12)
       acl:  (H, 13, 13) closed-loop A - B K
       bt:   (H, 12, 13) B'
-      scale: () max diag of the condensed Hessian (for cost scaling)
+      dmax: () max diag of the condensed Hessian (for cost scaling)
     """
     h = b_d.shape[0]
     dtype = a_d.dtype
     q_mat = jnp.diag(q_diag)
+    rd = jnp.zeros((NU,), dtype) if r_diag is None else r_diag
 
     def step(carry, b_i):
         p_next, t_next, dmax = carry
@@ -136,8 +159,8 @@ def _riccati_factor(a_d, b_d, q_diag, rbar):
         # open-loop state-cost propagation; diag(B' T B) + diag(R) is the
         # condensed P diagonal for this stage's input
         t_cur = q_mat + a_d.T @ t_next @ a_d
-        dmax = jnp.maximum(dmax,
-                           jnp.max(jnp.diagonal(b_i.T @ t_next @ b_i)))
+        dmax = jnp.maximum(
+            dmax, jnp.max(jnp.diagonal(b_i.T @ t_next @ b_i) + rd))
         return (p, t_cur, dmax), (k, ginv, acl, b_i.T)
 
     init = (jnp.zeros((NX, NX), dtype), q_mat,
@@ -247,27 +270,34 @@ def _gradient(a_d, b_d, u, qs_diag, refs, r_diag):
     return u * r_diag + jnp.einsum('hxu,hx->hu', b_d, lams)
 
 
-@f32_matmuls
-def mpc_solve(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
-              mu=P.MPC_MU, settings=admm.ADMMSettings(),
-              fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX,
-              parallel_scan=False):
-    """Long-horizon MPC solve in stagewise form (O(H) per iteration).
+def linear_term(a_d, b_d, x0, x_ref, q_weights, r_weights):
+    """Unscaled condensed-gradient q in stagewise form (two O(H) scans).
 
-    Args:
-      a_d: (13, 13) discrete A.
-      b_d: (13, 12) shared or (H, 13, 12) per-stage discrete B.
-      x0: (13,) current state; x_ref: (H, 13) reference trajectory —
-        H is taken from x_ref and may be arbitrary (the dense path's
-        specialization to PLAN_HORIZON=10 does not apply here).
-      settings: admm.ADMMSettings; seg_iters/segments/rho/sigma/alpha/
-        rho_eq_scale/rho bounds/adapt_tol are honored, the dense-path
-        KKT/polish knobs are not (the KKT solve is the Riccati pass).
+    Equals the condensed path's ``2 B_qp' Qw (A_qp x0 - x_ref)`` per
+    stage — the controller's warm/cold drift trigger for long horizons
+    (the analog of LazyCondensedQP.gradient in the H=10 path).
 
     Returns:
-      StagewiseSolution. u[0] is the applied GRF (matches the condensed
-      solver's x[:12] at H=10 with constant B).
+      (H, 12).
     """
+    h = x_ref.shape[0]
+    if b_d.ndim == 2:
+        b_d = jnp.broadcast_to(b_d, (h, NX, NU))
+
+    def free(x_i, _):
+        x_next = a_d @ x_i
+        return x_next, x_next
+
+    _, x_free = jax.lax.scan(free, x0, None, length=h)
+    refs = x_ref - x_free
+    return _gradient(a_d, b_d, jnp.zeros((h, NU), x_ref.dtype),
+                     2.0 * q_weights, refs, 2.0 * r_weights)
+
+
+def _problem_setup(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
+                   fz_min, fz_max):
+    """Shared cold/warm preprocessing: reference folding, bounds, cost
+    scale, and the constant linear term. Returns a dict of tensors."""
     h = x_ref.shape[0]
     dtype = x_ref.dtype
     if b_d.ndim == 2:
@@ -295,22 +325,38 @@ def mpc_solve(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
     lb_f = jnp.maximum(lb, -big)
     ub_f = jnp.minimum(ub, big)
 
-    sigma = settings.sigma
-    alpha = settings.alpha
-
-    # cost scale from the factor pass's Hessian-diagonal bound (plus the
-    # input diagonal), mirroring solve()'s 1/max|P|
-    fac0 = _riccati_factor(a_d, b_d, qs, jnp.diag(rs))
-    cost = 1.0 / jnp.maximum(jnp.maximum(fac0["dmax"], jnp.max(rs)), 1e-12)
+    # cost scale from the factor pass's Hessian-diagonal bound — the exact
+    # condensed P diagonal max(diag(B'TB) + diag(R)) tracked in the scan,
+    # mirroring solve()'s 1/max|P| (ADVICE r2: the earlier
+    # max(dmax, max(rs)) bound was up to 2x off, shifting the effective
+    # rho relative to the dense path)
+    fac0 = _riccati_factor(a_d, b_d, qs, jnp.diag(rs), r_diag=rs)
+    cost = 1.0 / jnp.maximum(fac0["dmax"], 1e-12)
 
     qs_s = cost * qs
     rs_s = cost * rs
-    refs_s = refs                                  # scale folds into qs_s
+    # constant linear term q = gradient at u = 0: lets the adaptive-rho
+    # dual residual normalize by max(|Pu|, |q|, |C'y|) separately, exactly
+    # like solve() (ADVICE r2: the combined |Pu + q| cancels near the
+    # optimum and inflates the relative dual residual), and serves as the
+    # warm path's drift trigger
+    q_lin = _gradient(a_d, b_d, jnp.zeros((h, NU), dtype), qs_s, refs,
+                      rs_s)
+    return dict(h=h, dtype=dtype, b_d=b_d, qs_s=qs_s, rs_s=rs_s,
+                refs_s=refs, cost=cost, q_lin=q_lin, eq=eq,
+                lb_f=lb_f, ub_f=ub_f)
 
-    rho0 = jnp.asarray(settings.rho, dtype)
-    u = jnp.zeros((h, NU), dtype)
-    z = jnp.clip(_stage_matvec(u, mu), lb_f, ub_f)
-    y = jnp.zeros((h, NC), dtype)
+
+def _make_segment(pr, a_d, mu, settings, parallel_scan, adapt_rho=True):
+    """One rho segment over the setup dict `pr`: Riccati refactorization +
+    seg_iters fixed ADMM iterations (+ optional rho adaptation)."""
+    h, dtype = pr["h"], pr["dtype"]
+    b_d, eq = pr["b_d"], pr["eq"]
+    lb_f, ub_f = pr["lb_f"], pr["ub_f"]
+    qs_s, rs_s, refs_s, q_lin = (pr["qs_s"], pr["rs_s"], pr["refs_s"],
+                                 pr["q_lin"])
+    sigma = settings.sigma
+    alpha = settings.alpha
 
     def segment(carry):
         u, z, y, rho = carry
@@ -337,37 +383,126 @@ def mpc_solve(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
 
         u, z, y = jax.lax.fori_loop(0, settings.seg_iters, body, (u, z, y))
 
-        # adaptive rho (same rule as solve())
+        # residuals (same rule AND same normalization as solve():
+        # |Pu|, |q|, |C'y| enter the dual denominator separately)
         cu = _stage_matvec(u, mu)
         eps = jnp.asarray(1e-15, dtype)
         prim = (jnp.max(jnp.abs(cu - z))
                 / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(cu)),
                                           jnp.max(jnp.abs(z))), eps))
-        grad = _gradient(a_d, b_d, u, qs_s, refs_s, rs_s)
+        grad = _gradient(a_d, b_d, u, qs_s, refs_s, rs_s)   # P u + q
+        pu = grad - q_lin
         cty = _stage_rmatvec(y, mu)
         dual = (jnp.max(jnp.abs(grad + cty))
-                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(grad)),
-                                          jnp.max(jnp.abs(cty))), eps))
-        factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
-        factor = jnp.clip(factor, 1e-2, 1e2)
-        factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
-        factor = jnp.where(jnp.maximum(prim, dual) > settings.adapt_tol,
-                           factor, 1.0)
-        rho_new = jnp.clip(rho * factor, settings.rho_min,
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(pu)),
+                              jnp.maximum(jnp.max(jnp.abs(q_lin)),
+                                          jnp.max(jnp.abs(cty)))), eps))
+        if adapt_rho:
+            factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
+            factor = jnp.clip(factor, 1e-2, 1e2)
+            factor = jnp.where((factor > 5.0) | (factor < 0.2), factor,
+                               1.0)
+            factor = jnp.where(
+                jnp.maximum(prim, dual) > settings.adapt_tol, factor, 1.0)
+            rho = jnp.clip(rho * factor, settings.rho_min,
                            settings.rho_max)
-        return (u, z, y, rho_new), (prim, dual)
+        return (u, z, y, rho), (prim, dual)
+
+    return segment
+
+
+def _package(pr, u, z, y, rho, prim, dual):
+    """NaN latch + unscale, shared by the cold and warm entries."""
+    finite = (jnp.all(jnp.isfinite(u)) & jnp.all(jnp.isfinite(y)))
+    u = jnp.where(finite, u, jnp.zeros_like(u))
+    y = jnp.where(finite, y, jnp.zeros_like(y))
+    z = jnp.where(finite, z, jnp.zeros_like(z))
+    bigr = jnp.asarray(1e6, pr["dtype"])
+    sol = StagewiseSolution(
+        u=u, y=y / pr["cost"], z=z, rho=rho,
+        primal_res=jnp.where(finite, prim, bigr),
+        dual_res=jnp.where(finite, dual, bigr))
+    warm = StagewiseWarmState(u=sol.u, y=sol.y, rho=rho,
+                              q_lin=pr["q_lin"] / pr["cost"])
+    return sol, warm
+
+
+@f32_matmuls
+def mpc_solve(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
+              mu=P.MPC_MU, settings=admm.ADMMSettings(),
+              fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX,
+              parallel_scan=False, return_warm=False):
+    """Long-horizon MPC solve in stagewise form (O(H) per iteration).
+
+    Args:
+      a_d: (13, 13) discrete A.
+      b_d: (13, 12) shared or (H, 13, 12) per-stage discrete B.
+      x0: (13,) current state; x_ref: (H, 13) reference trajectory —
+        H is taken from x_ref and may be arbitrary (the dense path's
+        specialization to PLAN_HORIZON=10 does not apply here).
+      settings: admm.ADMMSettings; seg_iters/segments/rho/sigma/alpha/
+        rho_eq_scale/rho bounds/adapt_tol are honored, the dense-path
+        KKT/polish knobs are not (the KKT solve is the Riccati pass).
+      return_warm: also return a StagewiseWarmState for
+        :func:`mpc_solve_warm` ticks.
+
+    Returns:
+      StagewiseSolution (or (solution, warm)). u[0] is the applied GRF
+      (matches the condensed solver's x[:12] at H=10 with constant B).
+    """
+    pr = _problem_setup(a_d, b_d, x0, x_ref, q_weights, r_weights,
+                        contacts, fz_min, fz_max)
+    h, dtype = pr["h"], pr["dtype"]
+    segment = _make_segment(pr, a_d, mu, settings, parallel_scan)
+
+    rho0 = jnp.asarray(settings.rho, dtype)
+    u = jnp.zeros((h, NU), dtype)
+    z = jnp.clip(_stage_matvec(u, mu), pr["lb_f"], pr["ub_f"])
+    y = jnp.zeros((h, NC), dtype)
 
     carry = (u, z, y, rho0)
     for _ in range(settings.segments):
         carry, (prim, dual) = segment(carry)
     u, z, y, rho = carry
+    sol, warm = _package(pr, u, z, y, rho, prim, dual)
+    return (sol, warm) if return_warm else sol
 
-    finite = (jnp.all(jnp.isfinite(u)) & jnp.all(jnp.isfinite(y)))
-    u = jnp.where(finite, u, jnp.zeros_like(u))
-    y = jnp.where(finite, y, jnp.zeros_like(y))
-    z = jnp.where(finite, z, jnp.zeros_like(z))
-    bigr = jnp.asarray(1e6, dtype)
-    return StagewiseSolution(
-        u=u, y=y / cost, z=z, rho=rho,
-        primal_res=jnp.where(finite, prim, bigr),
-        dual_res=jnp.where(finite, dual, bigr))
+
+@f32_matmuls
+def mpc_solve_warm(a_d, b_d, x0, x_ref, q_weights, r_weights, contacts,
+                   warm, mu=P.MPC_MU, settings=admm.ADMMSettings(),
+                   fz_min=P.MPC_FZ_MIN, fz_max=P.MPC_FZ_MAX,
+                   parallel_scan=False):
+    """One warm stagewise tick: refactorize the Riccati pass at the
+    carried rho and run a single fixed-iteration segment from the carried
+    primal/dual.
+
+    The long-horizon production cadence (the analog of
+    admm.solve_warm / A1RobotControl.cpp:522-540): consecutive ticks
+    solve nearly identical LQR-constrained QPs, so the carried (u, y)
+    sit deep inside the ADMM convergence region and one short segment
+    tracks the drift. Unlike the dense path there is no KKT inverse to
+    protect — the Riccati refactorization is exact for the CURRENT
+    (A, B, rho) every tick (it costs ~2 ADMM iterations of the same
+    O(H) scans) — so no basin safeguard is needed; the caller routes
+    contact flips and large drifts to a cold :func:`mpc_solve` because
+    those change the ACTIVE SET faster than one short segment converges.
+
+    Args:
+      warm: StagewiseWarmState from a previous tick (build with
+        ``mpc_solve(..., return_warm=True)``).
+      settings: seg_iters is the warm budget; segments is ignored (one
+        segment, rho fixed at the carry).
+
+    Returns:
+      (StagewiseSolution, next StagewiseWarmState).
+    """
+    pr = _problem_setup(a_d, b_d, x0, x_ref, q_weights, r_weights,
+                        contacts, fz_min, fz_max)
+    segment = _make_segment(pr, a_d, mu, settings, parallel_scan,
+                            adapt_rho=False)
+    u = warm.u
+    y = warm.y * pr["cost"]
+    z = jnp.clip(_stage_matvec(u, mu), pr["lb_f"], pr["ub_f"])
+    (u, z, y, rho), (prim, dual) = segment((u, z, y, warm.rho))
+    return _package(pr, u, z, y, rho, prim, dual)

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from go1_qp_mpc_controller_tpu.config import params as P
+from go1_qp_mpc_controller_tpu.ctrl import command as command_lib
 from go1_qp_mpc_controller_tpu.ctrl import controller, gait, swing, torque
 from go1_qp_mpc_controller_tpu.ops import admm
 from go1_qp_mpc_controller_tpu.runtime import bridge as bridge_lib
@@ -35,12 +36,22 @@ class ControlLoop:
       main_period_s: plan+torque cadence (reference: 0.5-2 ms).
       grf_period_s: MPC/GRF cadence.
       power_level: safety budget for the bridge clamps.
+      command_source: optional joystick source with
+        ``poll() -> list[(raw_axes (8,), raw_buttons (>=5,))]``
+        (runtime/joystick.py). When set, :meth:`run_dual` maps every
+        sample through the operator chain axes_from_raw -> clamp_axes ->
+        latch_buttons -> apply_commands inside the jitted fast step —
+        the reference's joy -> desired-state -> mode-toggle path
+        (GazeboA1ROS.cpp:117-188, 381-415) — and the LB button stops the
+        loop (joy_cmd_exit, :412-415).
     """
 
     def __init__(self, model, params, static, ctrl_state,
                  main_period_s=0.002, grf_period_s=0.002,
                  settings=admm.ADMMSettings(), power_level=5,
-                 stop_on_terminal=False, time_scale=1.0):
+                 stop_on_terminal=False, time_scale=1.0,
+                 command_source=None, estimate_in_feed=False,
+                 sensor_period_s=0.001):
         self.model = model
         self.params = params
         self.static = static
@@ -73,8 +84,19 @@ class ControlLoop:
         self._pos_limits = np.asarray(P.JOINT_POS_LIMITS)
         solver = (controller.MPC if static.solver == "mpc"
                   else controller.QP)
+        self.command_source = command_source
+        # estimate_in_feed: run the EKF in a dedicated thread consuming
+        # EVERY bridge frame at the sensor cadence (the reference's
+        # receive-thread estimation, HardwareA1ROS.cpp:343-378) instead
+        # of inside the fast control step, which only sees the latest
+        # frame per control tick and drops the rest
+        self.estimate_in_feed = estimate_in_feed
+        self.sensor_period = sensor_period_s
 
-        def full_step(state, sensors, dt):
+        # params is a DYNAMIC argument of every jitted step (not a closed-
+        # over constant): the joystick path mutates kp_linear per tick
+        # (apply_commands' translating-xy gain zeroing) without recompiles
+        def full_step(state, sensors, dt, params):
             state = controller.sensor_update(state, model, sensors, dt)
             return controller.control_step(
                 state, model, params, dt, solver_type=solver,
@@ -89,13 +111,28 @@ class ControlLoop:
         # dual-cadence split (MainGazebo.cpp:47-121): the fast loop runs
         # plan + swing + torques against the LAST solved GRF; the slow
         # loop re-solves the GRF QP/MPC on a state snapshot
-        def fast_step(state, sensors, dt):
-            state = controller.sensor_update(state, model, sensors, dt)
+        def fast_step(state, sensors, dt, params):
+            # with the estimator thread active, sensor_update only
+            # refreshes kinematics; the merged thread estimate already
+            # holds root_pos/root_lin_vel
+            state = controller.sensor_update(state, model, sensors, dt,
+                                             estimate=not estimate_in_feed)
             state = gait.update_plan(state, params, model)
             state = swing.generate_swing_legs_ctrl(state, params, dt)
             return torque.compute_joint_torques(state, params)
 
-        def grf_step(state):
+        def fast_step_joy(state, joy, params, ax_raw, btn, sensors, dt):
+            # the operator chain runs INSIDE the jitted tick: one device
+            # dispatch per fast tick whether or not a joystick is attached
+            axes = command_lib.axes_from_raw(ax_raw, btn)
+            axes = command_lib.clamp_axes(axes)
+            joy = command_lib.latch_buttons(joy, axes)
+            joy, state, params = command_lib.apply_commands(
+                joy, axes, state, params, dt)
+            state = fast_step(state, sensors, dt, params)
+            return state, joy, params
+
+        def grf_step(state, params):
             if solver == controller.MPC:
                 return controller.compute_grf_mpc(
                     state, model, params, settings,
@@ -104,6 +141,7 @@ class ControlLoop:
                                              settings)
 
         self._fast_step = jax.jit(fast_step)
+        self._fast_step_joy = jax.jit(fast_step_joy)
         self._grf_step = jax.jit(grf_step)
         self.fast_ticks = 0
         self.grf_ticks = 0
@@ -123,12 +161,20 @@ class ControlLoop:
             joint_vel=jnp.zeros(12, dtype),
             foot_force=jnp.full((4,), 50.0, dtype))
         if dual:
-            st = self._fast_step(self.state, s, dt)
+            if self.command_source is not None:
+                joy = command_lib.init_joy_state(0.3, dtype)
+                ax = jnp.zeros(8, dtype)
+                btn = jnp.zeros(5, jnp.int32)
+                st, _, _ = self._fast_step_joy(self.state, joy,
+                                               self.params, ax, btn, s, dt)
+            else:
+                st = self._fast_step(self.state, s, dt, self.params)
             jax.block_until_ready(st.joint_torques)
-            jax.block_until_ready(self._grf_step(st).foot_forces_grf)
+            jax.block_until_ready(
+                self._grf_step(st, self.params).foot_forces_grf)
         else:
             jax.block_until_ready(
-                self._step(self.state, s, dt).joint_torques)
+                self._step(self.state, s, dt, self.params).joint_torques)
 
     def _read_sensor_data(self):
         tick, s = self.bridge.read_sensors()
@@ -168,7 +214,8 @@ class ControlLoop:
                     break
                 t0 = time.perf_counter()
                 with self._lock:
-                    self.state = self._step(self.state, sensors, dt)
+                    self.state = self._step(self.state, sensors, dt,
+                                            self.params)
                 tau = np.asarray(self.state.joint_torques, np.float64)
                 self.bridge.push_command(tau)
                 self.metrics.log("cycle_ms",
@@ -206,8 +253,9 @@ class ControlLoop:
                 while not self._stop.is_set():
                     with self._lock:
                         snap = self.state
+                        params_now = self.params
                     t0 = time.perf_counter()
-                    solved = self._grf_step(snap)
+                    solved = self._grf_step(snap, params_now)
                     jax.block_until_ready(solved.foot_forces_grf)
                     self.metrics.log(
                         "grf_ms", (time.perf_counter() - t0) * 1e3)
@@ -224,10 +272,33 @@ class ControlLoop:
 
         grf_thread = threading.Thread(target=grf_loop, daemon=True)
         rate = bridge_lib.RateKeeper(self.main_period / self.time_scale)
-        dt = jnp.asarray(self.main_period, self.state.root_pos.dtype)
+        dtype = self.state.root_pos.dtype
+        dt = jnp.asarray(self.main_period, dtype)
         n = 0
         t_end = time.time() + duration_s if duration_s else None
         last_sensor_tick = -1
+        # joystick bookkeeping: the last axes keep applying between
+        # samples (the reference's main_update consumes the last
+        # joy_cmd_* every tick); button presses OR-accumulate so a press
+        # between two fast ticks is never lost
+        joy = None
+        if self.command_source is not None:
+            h0 = float(np.asarray(self.state.root_pos_d[2]))
+            joy = command_lib.init_joy_state(h0 if h0 > 0.05 else 0.3,
+                                             dtype)
+            last_axes = np.zeros(8, np.float32)
+            btn_accum = np.zeros(5, np.int32)
+        est = None
+        if self.estimate_in_feed:
+            from go1_qp_mpc_controller_tpu.runtime import (
+                estimator as estimator_lib)
+            est = estimator_lib.EstimatorThread(
+                self.bridge, self.model, self.state.estimator_x,
+                self.state.estimator_P,
+                sensor_period_s=self.sensor_period,
+                time_scale=self.time_scale)
+            self.est_thread = est
+            est.start()
         grf_thread.start()
         try:
             while not self._stop.is_set():
@@ -247,7 +318,35 @@ class ControlLoop:
                     t0 = time.perf_counter()
                     with self._lock:
                         state = self.state
-                    state = self._fast_step(state, sensors, dt)
+                    if est is not None and est.frames > 0:
+                        # frames == 0 guard: the pre-update init_state
+                        # carries the reference's crouched z = 0.09
+                        # (A1BasicEKF.cpp:55-68) — consuming it before
+                        # the first KF update hands the controller a
+                        # 21 cm height error on tick 0
+                        ex, ep, econ = est.snapshot()
+                        state = state._replace(
+                            estimator_x=ex, estimator_P=ep,
+                            estimated_contacts=jnp.asarray(econ),
+                            root_pos=ex[0:3], root_lin_vel=ex[3:6])
+                    if self.command_source is not None:
+                        for ax, bt in self.command_source.poll():
+                            last_axes = np.asarray(ax, np.float32)
+                            btn_accum = np.maximum(
+                                btn_accum,
+                                np.asarray(bt[:5], np.int32))
+                        state, joy, params_new = self._fast_step_joy(
+                            state, joy, self.params,
+                            jnp.asarray(last_axes, dtype),
+                            jnp.asarray(btn_accum), sensors, dt)
+                        btn_accum = np.zeros(5, np.int32)
+                        with self._lock:
+                            self.params = params_new
+                        if bool(np.asarray(joy.exit_request)):
+                            self._stop.set()
+                    else:
+                        state = self._fast_step(state, sensors, dt,
+                                                self.params)
                     tau = np.asarray(state.joint_torques, np.float64)
                     with self._lock:
                         # keep any GRF-solve fields that landed while the
@@ -256,6 +355,9 @@ class ControlLoop:
                                   for f in self._GRF_FIELDS}
                         self.state = state._replace(**merged)
                     self.bridge.push_command(tau)
+                    if est is not None:
+                        est.set_movement_mode(
+                            int(np.asarray(state.movement_mode)))
                     self.metrics.log("cycle_ms",
                                      (time.perf_counter() - t0) * 1e3)
                     self.fast_ticks += 1
@@ -263,6 +365,8 @@ class ControlLoop:
                 n += 1
         finally:
             self._stop.set()
+            if est is not None:
+                est.stop()
             grf_done.wait(timeout=5.0)
             self.metrics.log("overruns", rate.overruns)
             rate.close()

@@ -154,3 +154,38 @@ def test_schulz_balanced_kernel_matches_xla():
     xr_ref = admm_mod._schulz_iterate_balanced(mb, s, 20, x0=xg * unb) / unb
     np.testing.assert_allclose(np.asarray(xr_pal), np.asarray(xr_ref),
                                atol=5e-6)
+
+
+def test_schulz_custom_vmap_partial_batching():
+    """The custom_vmap rules must handle vmaps that batch only SOME
+    operands (e.g. a warm inverse shared across scenarios) by
+    broadcasting the unbatched ones (ADVICE r2: the old rules assumed
+    every argument carried the batch axis and failed at trace time)."""
+    from go1_qp_mpc_controller_tpu.ops import admm as admm_mod
+
+    n = 120
+    b = 3
+    a = jax.random.normal(jax.random.PRNGKey(7), (b, n, n), jnp.float32)
+    ms = jnp.einsum('bij,bkj->bik', a, a) / n + 3.0 * jnp.eye(n)
+    cold_fn, warm_fn = admm_mod._pallas_schulz_fns(None, 20)
+
+    minv_b = jax.vmap(cold_fn)(ms)
+    for i in range(b):
+        resid = np.abs(np.asarray(ms[i] @ minv_b[i]) - np.eye(n)).max()
+        assert resid < 1e-4, i
+
+    # shared m, batched warm start (in_batched = (False, True))
+    m0 = ms[0]
+    out = jax.vmap(lambda x0: warm_fn(m0, x0))(minv_b)
+    ref = np.linalg.inv(np.asarray(m0, np.float64))
+    # the m0-matched warm start converges tightly; the others are
+    # basin-tested and either refined toward inv(m0) or cold-restarted —
+    # all outputs must be finite approximations of inv(m0)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=1e-3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # batched m, shared warm start (in_batched = (True, False))
+    out2 = jax.vmap(lambda m: warm_fn(m, minv_b[0]))(ms)
+    np.testing.assert_allclose(
+        np.asarray(out2[0]), np.asarray(minv_b[0]), atol=1e-4)
+    assert np.isfinite(np.asarray(out2)).all()

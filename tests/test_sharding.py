@@ -94,3 +94,50 @@ def test_chunked_sweep_matches_single_shot():
     np.testing.assert_allclose(np.asarray(chunked.grf),
                                np.asarray(one.grf), atol=1e-7)
     assert chunked.stats["num_solves"] == 32.0
+
+
+def test_horizon_sharded_lqr_matches_sequential():
+    """Horizon-axis (sequence-parallel) LQR sweeps: the stagewise
+    solver's per-iteration affine recurrences sharded over the mpc mesh
+    axis must equal the single-device sequential scans (VERDICT r2
+    item 5). H = 40 over 8 devices (5 stages each)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from go1_qp_mpc_controller_tpu.ops import stagewise
+    from go1_qp_mpc_controller_tpu.parallel import horizon as hz
+
+    h = 40
+    dtype = jnp.float64
+    rng = np.random.default_rng(11)
+    # a stable random closed-loop system in the stagewise shapes
+    a_d = jnp.asarray(np.eye(13) + 0.01 * rng.normal(size=(13, 13)),
+                      dtype)
+    b_d = jnp.asarray(0.02 * rng.normal(size=(h, 13, 12)), dtype)
+    qs = jnp.asarray(rng.uniform(0.1, 2.0, 13), dtype)
+    rbar = jnp.asarray(np.diag(rng.uniform(0.5, 2.0, 12)), dtype)
+    g = jnp.asarray(rng.normal(size=(h, 12)), dtype)
+    c_lin = jnp.asarray(rng.normal(size=(h, 13)), dtype)
+
+    fac = stagewise._riccati_factor(a_d, b_d, qs, rbar)
+    u_ref = stagewise._lqr_solve(fac, a_d, b_d, g, c_lin)
+    u_ref_par = stagewise._lqr_solve(fac, a_d, b_d, g, c_lin,
+                                     parallel=True)
+    np.testing.assert_allclose(np.asarray(u_ref_par), np.asarray(u_ref),
+                               atol=1e-8)
+
+    mesh = mesh_lib.make_mesh(mpc_parallel=8)
+    spec_h = P(mesh_lib.MPC_AXIS)          # shard the leading H axis
+
+    def sharded(k, ginv, acl, bt, b_d_loc, g_loc, c_loc):
+        fac_loc = {"k": k, "ginv": ginv, "acl": acl, "bt": bt}
+        return hz.lqr_solve_sharded(fac_loc, a_d, b_d_loc, g_loc, c_loc,
+                                    mesh_lib.MPC_AXIS)
+
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(spec_h,) * 7, out_specs=spec_h, check_vma=False)
+    u_shard = fn(fac["k"], fac["ginv"], fac["acl"], fac["bt"],
+                 b_d, g, c_lin)
+    np.testing.assert_allclose(np.asarray(u_shard), np.asarray(u_ref),
+                               atol=1e-8)
