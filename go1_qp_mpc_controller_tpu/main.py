@@ -41,11 +41,24 @@ def cmd_rollout(args, model, params, static):
             root_lin_vel_d=jnp.where(walk, vel, jnp.zeros(3, dtype)))
 
     solver = controller.MPC if static.solver == "mpc" else controller.QP
+    horizon = getattr(args, "horizon", None)
+    if horizon is not None:
+        # stagewise long-horizon path: re-init the carry with H-sized
+        # warm fields and give the cold/warm solves stagewise schedules
+        carry = rollout.init_carry(model, params, height=args.height,
+                                   dtype=dtype, horizon=horizon)
+        settings = admm.ADMMSettings(seg_iters=60, segments=3,
+                                     polish=False)
+        warm_settings = admm.ADMMSettings(seg_iters=25, segments=1,
+                                          polish=False)
+    else:
+        settings = admm.ADMMSettings(seg_iters=25, segments=3)
+        warm_settings = controller.WARM_SETTINGS
     run = jax.jit(lambda c: rollout.rollout(
         c, model, params, args.steps, dt, solver_type=solver,
-        settings=admm.ADMMSettings(seg_iters=25, segments=3),
+        settings=settings, warm_settings=warm_settings,
         command_fn=command, estimate=not args.no_ekf,
-        use_terrain_adapt=static.use_terrain_adapt))
+        use_terrain_adapt=static.use_terrain_adapt, horizon=horizon))
     carry, trace = run(carry)
     pos = np.asarray(trace.root_pos)
     vel_tr = np.asarray(trace.root_lin_vel)
@@ -90,11 +103,37 @@ def cmd_loop(args, model, params, static):
     from go1_qp_mpc_controller_tpu.runtime import loop as loop_lib
 
     ctrl = types.init_ctrl_state(model, jnp.float32)
+    source = None
+    if args.joy_demo:
+        # scripted operator session (stand -> walk -> stand -> LB exit),
+        # the runnable equivalent of the reference's joystick path
+        # (GazeboA1ROS.cpp:117-188)
+        import numpy as np
+
+        from go1_qp_mpc_controller_tpu.runtime import joystick
+
+        def axes(velx=0.0, a=False, lb=False):
+            ax = np.zeros(8, np.float32)
+            ax[4] = velx
+            bt = np.zeros(5, np.int32)
+            bt[0], bt[4] = int(a), int(lb)
+            return ax, bt
+
+        t2 = int(args.duration / args.dt)
+        src_events = [
+            (t2 // 4,) + axes(velx=0.3, a=True),
+            (t2 // 2,) + axes(a=True),
+            (3 * t2 // 4,) + axes(lb=True),
+        ]
+        source = joystick.ScriptedJoySource(src_events)
     cl = loop_lib.ControlLoop(model, params, static, ctrl,
                               main_period_s=args.dt,
                               grf_period_s=args.grf_dt or args.dt,
                               power_level=static.power_level,
-                              time_scale=args.time_scale)
+                              time_scale=args.time_scale,
+                              command_source=source,
+                              estimate_in_feed=args.estimate_in_feed,
+                              sensor_period_s=args.feed_dt)
     feeder = None
     try:
         if not args.no_feeder:
@@ -234,6 +273,9 @@ def main(argv=None):
     p.add_argument("--vy", type=float, default=0.0)
     p.add_argument("--height", type=float, default=0.3)
     p.add_argument("--no-ekf", action="store_true")
+    p.add_argument("--horizon", type=int, default=None,
+                   help="MPC horizon; values != 10 route the GRF solve "
+                        "to the stagewise O(H) solver")
     p.set_defaults(fn=cmd_rollout)
 
     p = sub.add_parser("sweep")
@@ -255,6 +297,13 @@ def main(argv=None):
                         "periods = sim periods / time_scale. Default "
                         "0.25 absorbs uncolocated solve latency; use "
                         "1.0 on a co-located accelerator")
+    p.add_argument("--joy-demo", action="store_true",
+                   help="drive a scripted joystick session (stand -> "
+                        "walk -> stand -> LB exit) through the loop")
+    p.add_argument("--estimate-in-feed", action="store_true",
+                   help="run the EKF in a dedicated thread at the "
+                        "sensor cadence (HardwareA1ROS receive-thread "
+                        "estimation) instead of inside the fast step")
     p.add_argument("--no-feeder", action="store_true",
                    help="run against an externally fed bridge")
     p.add_argument("--single", action="store_true",

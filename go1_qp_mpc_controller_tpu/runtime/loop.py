@@ -275,7 +275,6 @@ class ControlLoop:
         dtype = self.state.root_pos.dtype
         dt = jnp.asarray(self.main_period, dtype)
         n = 0
-        t_end = time.time() + duration_s if duration_s else None
         last_sensor_tick = -1
         # joystick bookkeeping: the last axes keep applying between
         # samples (the reference's main_update consumes the last
@@ -300,6 +299,9 @@ class ControlLoop:
             self.est_thread = est
             est.start()
         grf_thread.start()
+        # duration clock starts AFTER estimator/joy construction (the
+        # EstimatorThread's compile would otherwise eat the run window)
+        t_end = time.time() + duration_s if duration_s else None
         try:
             while not self._stop.is_set():
                 if num_ticks is not None and n >= num_ticks:
