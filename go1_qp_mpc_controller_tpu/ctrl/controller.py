@@ -35,8 +35,15 @@ QP = 0
 
 # Production warm-tick solver schedule: one ADMM segment on the carried
 # KKT inverse (Schulz-refined), exactly the benchmarked fast path. Cold
-# solves (gait-transition ticks) use the caller's ``settings``.
-WARM_SETTINGS = admm.ADMMSettings(seg_iters=25, segments=1, polish=False,
+# solves (gait-transition ticks) use the caller's ``settings``. The
+# budget is probed (r3, TPU, drifting warm chains vs a tight polished
+# reference): 15 iterations give GRF diff med 0.12 N / p90 3.3 N at 270k
+# solves/s vs med 0.05 / p90 2.3 at 25 iterations — but the closed-loop
+# teacher-forced tracking gate (tests/test_warm_ticks.py, trot-transition
+# tail p95 < 10 N) fails at 15 (p95 = 11.0) and holds at 20, so the
+# production carry runs 20; the solver-only bench uses 15 with its
+# accuracy fields recorded in the JSON.
+WARM_SETTINGS = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
                                   schulz_refine=2)
 
 # rho band for the warm cadence. The warm tick runs a FIXED iteration

@@ -9,15 +9,18 @@ zero-torque warmup. All four 3x3 solves are one batched solve.
 
 import jax.numpy as jnp
 
+from go1_qp_mpc_controller_tpu.utils import rotations
+
 
 def compute_joint_torques(state, params):
     """Returns updated CtrlState with fresh joint_torques (12,)."""
     j = state.j_foot                                    # (4, 3, 3)
     # stance: tau = J' (-f_grf)   (A1RobotControl.cpp:303)
     tau_stance = jnp.einsum('lji,lj->li', j, -state.foot_forces_grf)
-    # swing: J tau = km * f_kin   (A1RobotControl.cpp:306-307)
+    # swing: J tau = km * f_kin   (A1RobotControl.cpp:306-307); adjugate
+    # 3x3 solve — batched LU serializes on TPU (utils.rotations.solve_3x3)
     force_tgt = params.km_foot[None, :] * state.foot_forces_kin
-    tau_swing = jnp.linalg.solve(j, force_tgt[..., None])[..., 0]
+    tau_swing = rotations.solve_3x3(j, force_tgt)
     tau = jnp.where(state.contacts[:, None], tau_stance, tau_swing)
     tau = tau.reshape(12) + params.torques_gravity
 

@@ -156,9 +156,9 @@ def step(sim, model, joint_torques, contacts, swing_targets_rel, dt,
                             model.leg_geometry.rho_fix)
 
     # stance forces from torques: tau = J^T (-f_body)  ->  f = -J^-T tau
+    # (adjugate 3x3 solve; batched LU serializes on TPU)
     tau_legs = joint_torques.reshape(4, 3)
-    f_body = -jnp.linalg.solve(jnp.swapaxes(j_legs, -1, -2),
-                               tau_legs[..., None])[..., 0]
+    f_body = -rotations.solve_3x3(jnp.swapaxes(j_legs, -1, -2), tau_legs)
     f_world = f_body @ rot.T
     f_world = jnp.where(contacts[:, None], f_world, 0.0)
 
@@ -168,7 +168,7 @@ def step(sim, model, joint_torques, contacts, swing_targets_rel, dt,
     arms = sim.foot_pos_world - sim.root_pos
     torque_world = jnp.sum(jnp.cross(arms, f_world), axis=0)
     i_world = rot @ model.trunk_inertia @ rot.T
-    ang_acc = jnp.linalg.solve(i_world, torque_world)
+    ang_acc = rotations.solve_3x3(i_world, torque_world)
 
     lin_vel = sim.root_lin_vel + acc * dt
     ang_vel = sim.root_ang_vel + ang_acc * dt

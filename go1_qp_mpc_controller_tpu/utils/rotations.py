@@ -139,6 +139,34 @@ def pseudo_inverse_3x3(mat, rcond_scale=None):
     return jnp.linalg.pinv(mat, rtol=rcond_scale)
 
 
+def solve_3x3(a, b):
+    """Solve a x = b for 3x3 systems via the closed-form adjugate.
+
+    Batched `jnp.linalg.solve` lowers tiny systems to LU + triangular
+    solves, which serialize on TPU; the adjugate is pure elementwise
+    arithmetic + one 3x3 matvec (the same trick models/srb.calculate_B_c
+    uses for the inertia inverse). No pivoting: intended for the
+    controller's well-conditioned leg Jacobians / inertia tensors — a
+    singular input yields inf/nan, caught by the callers' NaN latches
+    exactly like the reference's post-solve isnan guards
+    (A1RobotControl.cpp:314-317).
+
+    Args:
+      a: (..., 3, 3); b: (..., 3).
+
+    Returns:
+      (..., 3).
+    """
+    c0 = jnp.cross(a[..., 1, :], a[..., 2, :])
+    c1 = jnp.cross(a[..., 2, :], a[..., 0, :])
+    c2 = jnp.cross(a[..., 0, :], a[..., 1, :])
+    det = jnp.sum(a[..., 0, :] * c0, axis=-1, keepdims=True)
+    # rows of a^-1 (adjugate columns / det)
+    inv_rows = jnp.stack([c0, c1, c2], axis=-2) / det[..., None]
+    return jnp.einsum('...rc,...c->...r',
+                      jnp.swapaxes(inv_rows, -1, -2), b)
+
+
 def cal_dihedral_angle(coef_a, coef_b):
     """Angle between two planes given normal coefficients (Utils.cpp:54-62).
 

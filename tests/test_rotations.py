@@ -97,3 +97,23 @@ def test_wrap_yaw_error():
     np.testing.assert_allclose(err, 2 * np.pi - 6.2, atol=1e-12)
     err = float(rotations.wrap_yaw_error(jnp.asarray(0.5), jnp.asarray(0.1)))
     np.testing.assert_allclose(err, 0.4, atol=1e-12)
+
+
+def test_solve_3x3_matches_linalg_solve():
+    """Adjugate 3x3 solve == jnp.linalg.solve on general (non-symmetric)
+    batched systems."""
+    import numpy as np
+
+    from go1_qp_mpc_controller_tpu.utils import rotations
+
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.normal(size=(7, 3, 3)) + 2 * np.eye(3))
+    b = jnp.asarray(rng.normal(size=(7, 3)))
+    out = rotations.solve_3x3(a, b)
+    ref = jnp.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-10)
+    # unbatched
+    out1 = rotations.solve_3x3(a[0], b[0])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref[0]),
+                               atol=1e-10)
