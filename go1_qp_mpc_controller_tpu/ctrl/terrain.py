@@ -15,13 +15,23 @@ from go1_qp_mpc_controller_tpu.utils import filters, rotations
 
 def compute_walking_surface(foot_pos_recent_contact):
     """Plane fit z = a0 + a1 x + a2 y; returns coef (a1, a2, -1)
-    (A1RobotControl.cpp:566-582)."""
+    (A1RobotControl.cpp:566-582).
+
+    The normal-equation solve runs as a ridge-regularized closed-form
+    3x3 adjugate solve instead of the reference's SVD pseudo-inverse
+    (Utils.cpp:44-52): a batched tiny SVD serializes on TPU, and the
+    1e-6-scaled ridge handles the same degenerate contact geometries the
+    pinv's singular-value truncation does (collinear/coincident recent
+    contacts) — for well-posed fits the two agree to ~1e-5.
+    """
     dtype = foot_pos_recent_contact.dtype
     w = jnp.concatenate(
         [jnp.ones((4, 1), dtype), foot_pos_recent_contact[:, :2]], axis=1)
     z = foot_pos_recent_contact[:, 2]
     gram = w.T @ w
-    a = rotations.pseudo_inverse_3x3(gram) @ (w.T @ z)
+    ridge = 1e-6 * jnp.trace(gram) + 1e-12
+    gram = gram + ridge * jnp.eye(3, dtype=dtype)
+    a = rotations.solve_3x3(gram, w.T @ z)
     return jnp.stack([a[1], a[2], -jnp.ones((), dtype)])
 
 

@@ -57,6 +57,12 @@ class ADMMSettings(NamedTuple):
     # rule to find the per-scenario rho; the second segment then does
     # the real work at the right step size.
     first_seg_iters: int = 0
+    # bound on the PER-SEGMENT rho change factor (OSQP's rule is
+    # unclipped beyond [1e-2, 1e2]). A tighter bound keeps the
+    # rho-rescaled carried inverse near the Schulz basin, letting the
+    # later segments run a shorter refine schedule (schulz_l0_refine
+    # can rise toward 1e-3).
+    adapt_factor_max: float = 100.0
     rho: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
@@ -494,7 +500,8 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
         # bound the per-segment change (prevents rho collapse on problems
         # whose dual converges first)
         factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
-        factor = jnp.clip(factor, 1e-2, 1e2)
+        fmax = settings.adapt_factor_max
+        factor = jnp.clip(factor, 1.0 / fmax, fmax)
         factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
         # freeze rho once converged (see adapt_tol)
         factor = jnp.where(jnp.maximum(prim, dual) > settings.adapt_tol,
