@@ -64,6 +64,21 @@ def init_state(root_rot_mat, foot_pos_rel, dtype=None):
     return x, 3.0 * jnp.eye(STATE_SIZE, dtype=dtype)
 
 
+def _schulz_sinv(s_mat):
+    """Schulz inverse of the (28, 28) innovation matrix.
+
+    NOTE: a 4-way block-diagonal packing of scenarios into 112x112
+    matrices (Newton-Schulz is closed under block-diagonal structure)
+    was measured SLOWER on TPU at batch 4096 (EKF stage marginal
+    10.2 -> 12.1 ms): the assembly/unpack slices and custom_vmap
+    boundary outweigh the 28 -> 128 tile-padding win. Plain batched
+    matmuls it is.
+    """
+    from go1_qp_mpc_controller_tpu.ops import admm as admm_mod
+    return admm_mod._schulz_inverse(
+        s_mat, 0, coeffs=admm_mod._scaled_schulz_coeffs(1e-7))
+
+
 @f32_matmuls
 def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
                       foot_pos_rel, foot_vel_rel, foot_force, movement_mode,
@@ -145,9 +160,7 @@ def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
     err = y - yhat
 
     if innovation_solver == "schulz":
-        from go1_qp_mpc_controller_tpu.ops import admm as admm_mod
-        sinv = admm_mod._schulz_inverse(
-            s_mat, 0, coeffs=admm_mod._scaled_schulz_coeffs(1e-7))
+        sinv = _schulz_sinv(s_mat)
         k_gain = pbar @ c_mat.T @ sinv                    # (18, 28)
         x_new = xbar + k_gain @ err
         # Joseph-form covariance: PSD for ANY gain, which makes the
