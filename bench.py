@@ -318,17 +318,20 @@ def main():
     # of every step) — measured 32.4k -> 71.5k cold solves/s at batch
     # 4096 with cold-vs-tight GRF accuracy unchanged (med 0.84 N,
     # p90 7.6 N, max 23 N — identical to the plain 20+20 XLA path).
-    # r3 schedule (probed on TPU against a tight polished reference,
-    # batch 4096): a SHORT first segment (15 iterations at rho0 = 0.1 —
-    # just enough for the OSQP residual-ratio rule to find the
-    # per-scenario rho; single-segment fixed-rho schedules fail
-    # catastrophically, med 84 N) + a full 40-iteration second segment,
-    # with the cold Schulz schedule trimmed to a 1e-5 worst-case lower
-    # edge. 65.5k -> 68.9k cold solves/s with accuracy BETTER than the
-    # r2 gate (cold-vs-tight GRF med 0.72 N / p90 7.0 vs 1.0 / 9.4).
-    settings_cold = admm.ADMMSettings(first_seg_iters=15, seg_iters=40,
-                                      segments=2, polish=False,
-                                      schulz_l0=1e-5,
+    # r3 probing note: an asymmetric schedule (15-iteration rho-probing
+    # first segment + 40-iteration second, schulz_l0 1e-5) reaches 68.9k
+    # cold solves/s with the cold solve's OWN accuracy better than this
+    # schedule's (med 0.72 N / p90 7.0 vs 1.0 / 9.4) — but the rho it
+    # CARRIES (frozen at the value adapted from 15 noisy first-segment
+    # residuals) poisons ~10% of subsequent warm-tick chains (warm
+    # p90 2.4 N -> 80 N). Kept: the balanced 30+30 schedule, whose carry
+    # seeds warm chains cleanly; first_seg_iters remains the right knob
+    # for one-shot sweeps where no carry survives the solve.
+    # Single-segment fixed-rho schedules fail catastrophically (med
+    # 84 N) — per-scenario rho adaptation between segments is
+    # load-bearing.
+    settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
+                                      polish=False, schulz_l0=1e-6,
                                       schulz_l0_refine=1e-4,
                                       schulz_impl="pallas")
     # accuracy at this config (r3 probe vs a tight polished reference over
@@ -427,12 +430,14 @@ def main():
     # --- closed-loop trot rollout (production batched program: the cold
     # branch executes only on contact-flip ticks via the batch-level
     # lax.cond; flips genuinely occur at trot cadence) --------------------
-    cw = set_walk(c_warm)
-    # run through the walk-onset transient (mode switch + velocity step
-    # keep the grad-drift cold trigger firing) into the steady trot limit
+    # walk from the INITIAL batch (not the stand-warmed carry: switching
+    # modes mid-zero-torque-warmup topples a ~5% tail of scenarios, and
+    # one fallen robot forces the batch-level cold branch every tick),
+    # then run through the onset transient into the steady trot limit
     # cycle: 130 ticks covers the onset plus a full gait cycle, so the
     # timed window sees the production steady state — flip ticks every
     # ~60 ticks taking the batch-level cold branch, warm ticks otherwise
+    cw = set_walk(c0)
     _, cw = chain_batched(cw, 130)
     jax.block_until_ready(cw.ctrl.qp_warm_minv)
     cw_reps = [perturb_c(cw, jnp.asarray(float(k + 1), dtype))
