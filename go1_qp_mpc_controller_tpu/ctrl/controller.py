@@ -46,6 +46,27 @@ QP = 0
 WARM_SETTINGS = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
                                   schulz_refine=2)
 
+# Robust warm-tick schedule for BATCHED walking sweeps: the scaled-
+# Schulz refinement (schulz_l0_refine) rebuilds basin-rejected carries
+# (contact flips) per scenario inside the same fixed-shape program, the
+# longer segment re-converges the restarted duals, and adapt_warm_rho
+# keeps rho tracking at tick cadence — so no tick ever needs the cold
+# branch. At batch 4096 trot, desynchronized per-scenario early contacts
+# make SOME scenario transition nearly every tick, which degrades any
+# batch-level any()-routing to cold-most-ticks; this uniform program
+# costs ~2x the steady warm tick instead of the cold solve's ~4x.
+# Tracking character vs teacher-forced cold solves (f64, desync trot,
+# tests/test_batched_transition.py): median < 0.5 N, p95 ~15 N — the
+# tail sits on the flip-tick transients' semi-degenerate flat
+# directions (60 iterations bring it to ~11, a full cold solve to ~8;
+# even 320 iterations leave ~5 — see tests/test_warm_ticks.py notes).
+ROBUST_WARM_SETTINGS = admm.ADMMSettings(seg_iters=40, segments=1,
+                                         polish=False,
+                                         schulz_l0_refine=1e-4,
+                                         adapt_warm_rho=True,
+                                         # == WARM_RHO_MIN/MAX below
+                                         rho_min=0.02, rho_max=50.0)
+
 # rho band for the warm cadence. The warm tick runs a FIXED iteration
 # budget, so the carried rho must stay where 25 iterations contract well.
 # An unbanded transition solve on an all-stance QP adapts rho to 1e-3
@@ -314,7 +335,8 @@ def _grf_branches(settings, warm_settings):
 def compute_grf_mpc_batched(states, model, params,
                             settings=admm.ADMMSettings(),
                             use_terrain_adapt=True,
-                            warm_settings=WARM_SETTINGS):
+                            warm_settings=WARM_SETTINGS,
+                            robust=False):
     """Batched MPC GRF solve with BATCH-LEVEL transition routing.
 
     The per-scenario ``lax.cond`` in :func:`compute_grf_mpc` vectorizes
@@ -367,10 +389,23 @@ def compute_grf_mpc_batched(states, model, params,
         return state, lazy, warm_in, transition
 
     states, lazy, warm_in, transition = jax.vmap(prepare)(states)
-    cold_branch, warm_branch = _grf_branches(settings, warm_settings)
-    x_sol, warm_out = jax.lax.cond(
-        jnp.any(transition),
-        jax.vmap(cold_branch), jax.vmap(warm_branch), lazy, warm_in)
+    if robust:
+        # uniform robust warm program (see ROBUST_WARM_SETTINGS): the
+        # scaled-schedule refinement handles basin-rejected carries per
+        # scenario, so no batch-level cold branch exists at all. The
+        # flip repair (dual restart) from _transition_test still applied
+        # per scenario above.
+        robust_settings = warm_settings._replace(
+            schulz_l0_refine=(warm_settings.schulz_l0_refine
+                              if warm_settings.schulz_l0_refine > 0
+                              else 1e-4))
+        _, warm_branch = _grf_branches(settings, robust_settings)
+        x_sol, warm_out = jax.vmap(warm_branch)(lazy, warm_in)
+    else:
+        cold_branch, warm_branch = _grf_branches(settings, warm_settings)
+        x_sol, warm_out = jax.lax.cond(
+            jnp.any(transition),
+            jax.vmap(cold_branch), jax.vmap(warm_branch), lazy, warm_in)
     return jax.vmap(_finish_grf)(states, x_sol, warm_out, lazy.gradient)
 
 
@@ -525,11 +560,13 @@ def control_step(state, model, params, dt, solver_type=MPC,
 def control_step_batched(states, model, params, dt,
                          settings=admm.ADMMSettings(),
                          use_terrain_adapt=True,
-                         warm_settings=WARM_SETTINGS):
+                         warm_settings=WARM_SETTINGS, robust=False):
     """Batched :func:`control_step` (MPC branch) with batch-level
     transition routing — see :func:`compute_grf_mpc_batched`. The
     plan/swing/torque stages vmap per scenario; only the GRF solve's
-    cold-vs-warm decision is lifted above the batch.
+    cold-vs-warm decision is lifted above the batch (or removed
+    entirely with ``robust=True``, the uniform program for walking
+    sweeps whose per-scenario transitions desynchronize).
 
     Args:
       states: CtrlState with a leading batch axis; model/params unbatched.
@@ -538,6 +575,7 @@ def control_step_batched(states, model, params, dt,
     states = jax.vmap(
         lambda s: swing.generate_swing_legs_ctrl(s, params, dt))(states)
     states = compute_grf_mpc_batched(states, model, params, settings,
-                                     use_terrain_adapt, warm_settings)
+                                     use_terrain_adapt, warm_settings,
+                                     robust=robust)
     return jax.vmap(
         lambda s: torque.compute_joint_torques(s, params))(states)

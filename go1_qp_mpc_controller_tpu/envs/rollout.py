@@ -136,7 +136,8 @@ def rollout_batched(carry, model, params, num_steps, dt,
                     settings=admm.ADMMSettings(), command_fn=None,
                     estimate=True, use_terrain_adapt=True,
                     ground_coef=None,
-                    warm_settings=controller.WARM_SETTINGS):
+                    warm_settings=controller.WARM_SETTINGS,
+                    robust=False):
     """Batched closed-loop rollout with batch-level transition routing.
 
     The production batched-sweep program: where ``vmap(rollout)`` turns
@@ -174,7 +175,7 @@ def rollout_batched(carry, model, params, num_steps, dt,
         ctrl = controller.control_step_batched(
             ctrl, model, params, dt, settings=settings,
             use_terrain_adapt=use_terrain_adapt,
-            warm_settings=warm_settings)
+            warm_settings=warm_settings, robust=robust)
         sim_new, forces_z = jax.vmap(
             lambda sm, tau, con, tgt: srb_sim.step(
                 sm, model, tau, con, tgt, dt, ground_coef=ground_coef)

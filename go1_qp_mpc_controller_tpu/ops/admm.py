@@ -63,6 +63,13 @@ class ADMMSettings(NamedTuple):
     # later segments run a shorter refine schedule (schulz_l0_refine
     # can rise toward 1e-3).
     adapt_factor_max: float = 100.0
+    # adapt rho at the END of a warm tick and carry the adapted value
+    # (the carried inverse is rescaled by the rho ratio; the next tick's
+    # Schulz refinement absorbs the rest). OSQP's periodic adaptation at
+    # tick cadence — needed by warm programs that never take a cold
+    # segment (the batched ROBUST walking path), harmless on the steady
+    # cadence (the adapt_tol freeze guard stops it at convergence).
+    adapt_warm_rho: bool = False
     rho: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
@@ -740,12 +747,42 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
 
     h_mat = hessian() if callable(hessian) else hessian
     y_out = y / cost
-    primal = jnp.max(jnp.abs(matvec(x) - z))
-    dual = jnp.max(jnp.abs(h_mat @ x + gradient + rmatvec(y_out)))
+    cx = matvec(x)
+    cty = rmatvec(y_out)
+    px = h_mat @ x
+    primal = jnp.max(jnp.abs(cx - z))
+    dual = jnp.max(jnp.abs(px + gradient + cty))
     sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
                        primal_res=jnp.where(finite, primal, 1e6),
                        dual_res=jnp.where(finite, dual, 1e6))
-    return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv)
+    rho_out = rho
+    minv_out = minv
+    if settings.adapt_warm_rho:
+        # OSQP's residual-ratio adaptation at tick cadence (see the
+        # ADMMSettings flag): same rule/guards as solve()'s inter-segment
+        # adaptation; the carried inverse is rescaled by the rho ratio
+        # and the next tick's Schulz refinement absorbs the rest
+        eps = jnp.asarray(1e-15, x.dtype)
+        prim_rel = (primal
+                    / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(cx)),
+                                              jnp.max(jnp.abs(z))), eps))
+        dual_rel = (dual
+                    / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                                  jnp.maximum(jnp.max(jnp.abs(gradient)),
+                                              jnp.max(jnp.abs(cty)))),
+                                  eps))
+        factor = jnp.sqrt(prim_rel / jnp.maximum(dual_rel, eps))
+        fmax = settings.adapt_factor_max
+        factor = jnp.clip(factor, 1.0 / fmax, fmax)
+        factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
+        factor = jnp.where(
+            jnp.maximum(prim_rel, dual_rel) > settings.adapt_tol,
+            factor, 1.0)
+        factor = jnp.where(finite, factor, 1.0)
+        rho_out = jnp.clip(rho * factor, settings.rho_min,
+                           settings.rho_max)
+        minv_out = minv * (rho / rho_out)
+    return sol, WarmState(x=x, y=y_out, rho=rho_out, minv=minv_out)
 
 
 @f32_matmuls
@@ -824,8 +861,20 @@ def solve_warm_fused(lazy, warm, settings, mu):
     rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
     m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
     qbar = cost * lazy.gradient
-    minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
-                                    warm.minv)
+    # schulz_l0_refine > 0 selects the ROBUST warm tick: the refinement
+    # runs the full scaled schedule for that lower edge, so a
+    # basin-REJECTED carry (contact flip changed the eq-boost pattern,
+    # post-latch garbage) rebuilds a proper inverse inside the same
+    # fixed-shape program — per scenario, while accepted carries run
+    # plain Newton and converge immediately. The short schulz_refine
+    # schedule stays the steady-cadence fast path.
+    if settings.schulz_l0_refine > 0:
+        coeffs = _scaled_schulz_coeffs(settings.schulz_l0_refine)
+        minv = _schulz_iterate_balanced(m_b, s, 0, warm.minv,
+                                        coeffs=coeffs)
+    else:
+        minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
+                                        warm.minv)
     return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f, ub_f,
                         rho, rho_vec, matvec, rmatvec, warm, settings)
 

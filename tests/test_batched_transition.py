@@ -148,3 +148,104 @@ def test_batched_trot_rollout_walks():
     # the trot genuinely flipped contacts during the run
     con = np.asarray(trace.contacts)        # (T, B, 4)
     assert (con[150:, 0].min(axis=0) == 0).any()
+
+
+def test_robust_batched_tracks_cold_through_trot():
+    """The uniform ROBUST warm program (no cold branch: scaled-Schulz
+    rebuild per scenario) tracks teacher-forced cold solves through a
+    walking sequence with DESYNCHRONIZED gait phases — the batch regime
+    where any()-routing degenerates (some scenario transitions nearly
+    every tick)."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    batch = 3
+    c = _batched_carry(batch, model, params)
+    # desynchronize the trot phases so contact flips never align
+    offs = jnp.asarray([0.0, 37.0, 81.0], DTYPE)
+    ctrl = c.ctrl._replace(
+        gait_counter=(c.ctrl.gait_counter + offs[:, None]) % 240.0)
+    c = c._replace(ctrl=ctrl)
+    settings = admm.ADMMSettings(seg_iters=25, segments=3)
+    vel = jnp.asarray([0.3, 0.0, 0.0], DTYPE)
+
+    def tick(cc, i):
+        ctrl, sim = cc.ctrl, cc.sim
+        walk = i >= 50
+        ctrl = jax.vmap(lambda cs: cs._replace(
+            movement_mode=jnp.where(walk, 1, 0).astype(jnp.int32),
+            root_lin_vel_d=jnp.where(walk, vel, jnp.zeros(3, DTYPE))))(
+            ctrl)
+
+        def observe(cs, sm, fz):
+            sensors = srb_sim.read_sensors(sm, model, cs.contacts, fz, dt)
+            cs = controller.sensor_update(cs, model, sensors, dt,
+                                          estimate=False)
+            return cs._replace(root_pos=sm.root_pos,
+                               root_lin_vel=sm.root_lin_vel)
+
+        ctrl = jax.vmap(observe)(ctrl, sim, cc.stance_forces_z)
+        robust = controller.control_step_batched(
+            ctrl, model, params, dt, settings=settings,
+            use_terrain_adapt=False,
+            warm_settings=controller.ROBUST_WARM_SETTINGS, robust=True)
+        cold = jax.vmap(lambda cs: controller.control_step(
+            cs, model, params, dt, settings=settings,
+            use_terrain_adapt=False, warm_mode="cold"))(ctrl)
+        sim2, fz = jax.vmap(
+            lambda sm, tau, con, tgt: srb_sim.step(sm, model, tau, con,
+                                                   tgt, dt))(
+            sim, robust.joint_torques, robust.contacts,
+            robust.foot_pos_target_last_time)
+        diff = jnp.max(jnp.abs(robust.foot_forces_grf
+                               - cold.foot_forces_grf))
+        return rollout.RolloutCarry(ctrl=robust, sim=sim2,
+                                    stance_forces_z=fz), diff
+
+    _, diffs = jax.jit(
+        lambda cc: jax.lax.scan(tick, cc, jnp.arange(400)))(c)
+    diffs = np.asarray(diffs)
+    assert np.isfinite(diffs).all()
+    # sub-N typical ticks; the tail is the flip-tick transients'
+    # semi-degenerate flat directions (measured p95 ~15 N at the robust
+    # 40-iteration budget, ~11 at 60, ~8 for the full cold branch; even
+    # 320 iterations leave ~5 — the test_warm_ticks notes document the
+    # same character for the per-scenario path). Height/velocity
+    # behavior under the robust program is gated by the closed-loop
+    # test below.
+    assert np.median(diffs) < 0.5, np.median(diffs)
+    assert np.percentile(diffs, 95) < 18.0, np.percentile(diffs, 95)
+    assert diffs.max() < 45.0, diffs.max()
+
+
+def test_robust_batched_trot_walks_desynced():
+    """Closed-loop health of the uniform robust program: a desynchronized
+    batched trot holds height and tracks the commanded velocity."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    batch = 3
+    c0 = _batched_carry(batch, model, params)
+    offs = jnp.asarray([0.0, 37.0, 81.0], DTYPE)
+    ctrl = c0.ctrl._replace(
+        gait_counter=(c0.ctrl.gait_counter + offs[:, None]) % 240.0)
+    c0 = c0._replace(ctrl=ctrl)
+
+    def command(i, ctrl):
+        walk = i >= 100
+        return ctrl._replace(
+            movement_mode=jnp.where(walk, 1, 0).astype(jnp.int32),
+            root_lin_vel_d=jnp.where(walk, jnp.asarray([0.3, 0.0, 0.0],
+                                                       DTYPE),
+                                     jnp.zeros(3, DTYPE)))
+
+    run = jax.jit(lambda c: rollout.rollout_batched(
+        c, model, params, 700, dt, settings=SETTINGS,
+        command_fn=command, estimate=False, use_terrain_adapt=False,
+        warm_settings=controller.ROBUST_WARM_SETTINGS, robust=True))
+    carry, trace = run(c0)
+    pos = np.asarray(trace.root_pos)
+    vel = np.asarray(trace.root_lin_vel)
+    assert np.isfinite(pos).all()
+    assert np.all(np.abs(pos[200:, :, 2] - 0.3) < 0.05)
+    np.testing.assert_allclose(vel[400:, :, 0].mean(), 0.3, rtol=0.15)
