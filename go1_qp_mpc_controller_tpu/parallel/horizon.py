@@ -19,14 +19,17 @@ segment, and costs about two LQR iterations — sharding the per-iteration
 sweeps is where the horizon axis can actually win.
 
 Virtual-mesh measurement (8 CPU devices, see tests/test_sharding.py):
-equality holds to 1e-8; wall-clock on the virtual mesh only measures
-plumbing (all devices share one host), so the sequential-vs-sharded
-crossover must be read from depth arithmetic — at batch B filling the
-chip, the sequential scan is B-parallel and the horizon shard only pays
-once H/n + log n collectives beat H sequential 13-dim steps with the
-batch UNDERfilled, i.e. small-batch / very-long-horizon regimes
-(H >~ few hundred at B <~ 100), matching the single-device
-associative_scan finding recorded in ops/stagewise.py::_lqr_solve.
+equality holds to 1e-8. Measured wall-clock on the VIRTUAL mesh
+(batch 1): H=128 sequential 0.48 ms vs sharded 6.2 ms; H=512 0.96 vs
+8.8 ms — the virtual mesh's per-collective dispatch (all devices share
+one host) swamps the depth win, so these numbers only demonstrate the
+plumbing. On real hardware the crossover must be read from depth
+arithmetic: at batch B filling the chip, the sequential scan is
+B-parallel and the horizon shard only pays once H/n + log n collective
+hops beat H sequential 13-dim steps with the batch UNDERfilled, i.e.
+small-batch / very-long-horizon regimes (H >~ few hundred at B <~ 100),
+matching the single-device associative_scan finding recorded in
+ops/stagewise.py::_lqr_solve.
 """
 
 import jax

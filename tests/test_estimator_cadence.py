@@ -98,12 +98,14 @@ def test_estimator_thread_in_dual_loop():
 
     model, params, static = presets.load_preset("hardware_qp")
     ctrl = types.init_ctrl_state(model, jnp.float32)
+    # generous real-time factor: this is a threading smoke test and must
+    # stay robust when the full suite loads the host
     cl = loop_lib.ControlLoop(model, params, static, ctrl,
                               main_period_s=0.002, grf_period_s=0.002,
-                              time_scale=0.25, estimate_in_feed=True,
+                              time_scale=0.125, estimate_in_feed=True,
                               sensor_period_s=0.001)
     feeder = feeder_lib.SimFeeder(cl.bridge, model, params, height=0.3,
-                                  period_s=0.001, time_scale=0.25)
+                                  period_s=0.001, time_scale=0.125)
     cl.state = feeder.initial_ctrl_state()
     cl.warmup(dual=True)
     try:
