@@ -181,7 +181,9 @@ def compute_grf_mpc(state, model, params,
         BATCHED steady-cadence sweeps/benchmarks, where vmap turns the
         cond into a select that pays both branches every tick regardless
         of the predicate. Callers of "warm" own the cadence guarantees
-        (warmed carry, no contact flips).
+        (warmed carry, no contact flips). "cold" always takes the
+        transition branch (diagnostics; also the exact program
+        compute_grf_mpc_batched routes mixed ticks to).
       receding_horizon: static flag selecting the averaged-euler A_c +
         receding-foot-position condensation variant the reference
         demonstrates (test/test_mpc.cpp:93-122; commented-out in
