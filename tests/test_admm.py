@@ -277,3 +277,63 @@ def test_schulz_inverse_balanced_cold_and_warm():
     r_fb = np.abs(np.eye(120) - m_np @ np.asarray(x_fb, np.float64))
     assert np.isfinite(np.asarray(x_fb)).all()
     assert r_fb.max() < 1e-4, r_fb.max()
+
+
+def test_first_seg_iters_cold_schedule():
+    """Asymmetric cold schedules (short rho-probing first segment) stay
+    near oracle optimum — the one-shot sweep configuration (see
+    bench.py notes: NOT used where the carry seeds warm chains)."""
+    from go1_qp_mpc_controller_tpu.compat import oracle
+
+    grf_ref, x_ref, qp, _ = oracle.solve_test_mpc_fixture()
+    h = jnp.asarray(qp.hessian)
+    g = jnp.asarray(qp.gradient)
+    lb = jnp.asarray(qp.lb)
+    ub = jnp.asarray(qp.ub)
+    st = admm.ADMMSettings(first_seg_iters=15, seg_iters=60, segments=3,
+                           polish=True, polish_solver="chol")
+    sol = admm.mpc_solve(
+        srb.CondensedQP(hessian=h, gradient=g, lb=lb, ub=ub), st)
+    np.testing.assert_allclose(np.asarray(sol.x[:12]).reshape(4, 3),
+                               grf_ref, atol=2e-3)
+
+
+def test_adapt_warm_rho_tracks_and_rescales():
+    """adapt_warm_rho: the warm tick applies the banded residual-ratio
+    rho rule and rescales the carried inverse consistently — a drifting
+    warm chain stays accurate and rho stays inside the band."""
+    from go1_qp_mpc_controller_tpu.compat import oracle
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    f = oracle.test_mpc_fixture()
+    a_d = jnp.asarray(f["a_d"])
+    b_d = jnp.asarray(f["b_d_list"][0])
+    x_ref10 = jnp.asarray(f["x_ref"]).reshape(10, 13)
+    q = jnp.asarray(f["q_weights"])
+    r = jnp.asarray(f["r_weights"])
+    con = jnp.asarray(f["contacts"])
+    x0 = jnp.asarray(f["x0"])
+
+    cold = admm.ADMMSettings(seg_iters=40, segments=3, polish=False)
+    warm_st = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
+                                schulz_l0_refine=1e-4,
+                                adapt_warm_rho=True, rho_min=0.02,
+                                rho_max=50.0)
+    tight = admm.ADMMSettings(seg_iters=80, segments=4, polish=True,
+                              polish_solver="chol")
+
+    qp0 = srb_mod.condense_nilpotent_const(a_d, b_d, x0, x_ref10, q, r,
+                                           con)
+    sol, warm = admm.mpc_solve(qp0, cold, return_warm=True)
+    drift = jnp.zeros(13, x0.dtype).at[9].add(0.002)
+    for k in range(6):
+        x0 = x0 + drift
+        lazy = srb_mod.condense_nilpotent_lazy(a_d, b_d, x0, x_ref10, q,
+                                               r, con)
+        sol_w, warm = admm.mpc_solve_warm_fused(lazy, warm, warm_st)
+        assert float(warm.rho) >= 0.02 and float(warm.rho) <= 50.0
+        qp_k = srb_mod.condense_nilpotent_const(a_d, b_d, x0, x_ref10, q,
+                                                r, con)
+        ref = admm.mpc_solve(qp_k, tight)
+        d = np.abs(np.asarray(sol_w.x[:12]) - np.asarray(ref.x[:12]))
+        assert d.max() < 1.0, (k, d.max())
