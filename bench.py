@@ -508,16 +508,15 @@ def main():
         jax.block_until_ready(outs)
         sw_rates[f"stagewise_h{h}_cold_solves_per_s"] = round(
             sw_batch * reps / (time.perf_counter() - t0), 1)
-        if h == 40:
-            sw_nt = 10
-            fz, _ = sw_ticks(scn_sw, sw_warms, drifts[:sw_batch], sw_nt)
-            jax.block_until_ready(fz)
-            t0 = time.perf_counter()
-            outs = [sw_ticks(s, sw_warms, drifts[:sw_batch], sw_nt)[0]
-                    for s in sw_reps]
-            jax.block_until_ready(outs)
-            sw_rates[f"stagewise_h{h}_warm_solves_per_s"] = round(
-                sw_batch * sw_nt * reps / (time.perf_counter() - t0), 1)
+        sw_nt = 10
+        fz, _ = sw_ticks(scn_sw, sw_warms, drifts[:sw_batch], sw_nt)
+        jax.block_until_ready(fz)
+        t0 = time.perf_counter()
+        outs = [sw_ticks(s, sw_warms, drifts[:sw_batch], sw_nt)[0]
+                for s in sw_reps]
+        jax.block_until_ready(outs)
+        sw_rates[f"stagewise_h{h}_warm_solves_per_s"] = round(
+            sw_batch * sw_nt * reps / (time.perf_counter() - t0), 1)
 
     # --- RL policy inference (context metric; R1/R3 stack) ---------------
     from go1_qp_mpc_controller_tpu.models import policy
