@@ -149,7 +149,11 @@ def _riccati_factor(a_d, b_d, q_diag, rbar, r_diag=None):
         s = q_mat + p_next                       # cost on x_{i+1}
         bs = b_i.T @ s                           # (12, 13)
         g = rbar + bs @ b_i                      # (12, 12)
-        ginv = jnp.linalg.inv(g)
+        # matmul-only SPD inverse: a batched 12x12 LU serializes on TPU
+        # (the same tiny-decomposition poison as the EKF innovation and
+        # the 3x3 leg solves — see NOTES_ROUND3)
+        ginv = admm._schulz_inverse(
+            g, 0, coeffs=admm._scaled_schulz_coeffs(1e-7))
         k = ginv @ (bs @ a_d)                    # (12, 13)
         acl = a_d - b_i @ k
         # Riccati update in Joseph-free form (exact for the minimizer)
