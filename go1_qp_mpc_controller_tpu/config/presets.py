@@ -46,6 +46,10 @@ class RLConfig:
     damping: float = 10.0
     power_level: int = 10           # go1_hardware_power_level
     use_sim_time: bool = True
+    # KF contact-probability normalizer: the Go1 stack's EKF copy divides
+    # foot forces by 1000 (Go1 hardware units, Go1BasicEKF.cpp:83) where
+    # the A1 MPC stack divides by 100 (A1BasicEKF.cpp:83)
+    contact_force_norm: float = 1000.0
 
 
 def available_presets(stack=None):

@@ -100,7 +100,8 @@ class SensorData(NamedTuple):
     foot_force: jnp.ndarray   # (4,) contact sensor normal forces
 
 
-def sensor_update(state, model, sensors, dt, estimate=True):
+def sensor_update(state, model, sensors, dt, estimate=True,
+                  contact_force_norm=100.0):
     """Ingest sensors, refresh kinematics, and run the KF.
 
     Mirrors gt_pose_callback + main_update estimation
@@ -113,6 +114,9 @@ def sensor_update(state, model, sensors, dt, estimate=True):
       dt: () estimator step.
       estimate: static bool — run the KF (False = trust root_pos/root_lin_vel
         already in the state, e.g. simulator ground truth).
+      contact_force_norm: the KF's full-contact force scale — 100 for
+        A1-unit sensors, 1000 for Go1 hardware (Go1BasicEKF.cpp:83; see
+        ekf.update_estimation).
 
     Returns:
       updated CtrlState.
@@ -143,7 +147,8 @@ def sensor_update(state, model, sensors, dt, estimate=True):
         res = ekf.update_estimation(
             state.estimator_x, state.estimator_P, dt, rot, sensors.imu_acc,
             sensors.imu_ang_vel, foot_pos_rel, foot_vel_rel,
-            sensors.foot_force, state.movement_mode)
+            sensors.foot_force, state.movement_mode,
+            contact_force_norm=contact_force_norm)
         state = state._replace(
             estimator_x=res.x, estimator_P=res.P,
             estimated_contacts=res.estimated_contacts >= 0.5,
@@ -338,31 +343,41 @@ def compute_grf_mpc_batched(states, model, params,
                             settings=admm.ADMMSettings(),
                             use_terrain_adapt=True,
                             warm_settings=WARM_SETTINGS,
-                            robust=False):
-    """Batched MPC GRF solve with BATCH-LEVEL transition routing.
+                            robust=False, compact_k=256):
+    """Batched MPC GRF solve with BATCH-LEVEL transition routing and
+    per-scenario cold-solve COMPACTION.
 
     The per-scenario ``lax.cond`` in :func:`compute_grf_mpc` vectorizes
     into a select under vmap: every scenario pays the full cold solve
     (2 segments x 30 Schulz-laden iterations) every tick even when no
     scenario is at a gait transition — the 33% rollout tax VERDICT r2
-    item 3 flags. This entry lifts the routing decision above the batch:
-    the cond predicate is ``jnp.any(transition)``, so the cond sits
-    OUTSIDE vmap and XLA executes only the taken branch per tick. Batched
-    trot rollouts synchronize their gait counters, so flip ticks cluster
-    (~2 of every 120 ticks at trot cadence) and the steady-state program
-    is the pure warm tick.
+    item 3 flags. This entry lifts the routing decision above the batch
+    into a three-way ``lax.switch`` on the per-tick transition count:
 
-    Mixed ticks (some scenarios transitioning, some not) route the WHOLE
-    batch to the cold solve — never less accurate than the per-scenario
-    blend (the cold solve warm-starts from each scenario's primal/dual
-    carry and is a strict superset of the warm tick's work), just not
-    cheaper on those rare ticks. The reference's analog is OSQP spending
-    iterations only when its warm start is off
-    (A1RobotControl.cpp:522-540).
+    - **0 transitions** (the steady cadence): the pure warm-tick program.
+    - **1..compact_k transitions** (the desynchronized-trot regime, where
+      SOME scenario flips nearly every tick): every scenario runs the
+      warm tick, and the flagged scenarios are additionally GATHERED into
+      a fixed-size (compact_k, ...) sub-batch, solved cold from their own
+      primal/dual carries, and scattered back over the warm results.
+      Per scenario this computes exactly what the per-scenario
+      ``lax.cond`` routing computes (flagged -> cold, unflagged -> warm),
+      at warm-batch cost plus a compact_k-sized cold solve — the batch
+      finally has the reference's property that OSQP pays iterations only
+      where the warm start is off (A1RobotControl.cpp:522-540), per
+      scenario instead of per tick.
+    - **> compact_k transitions** (synchronized flip ticks, mode
+      switches): the whole batch takes the cold solve, never less
+      accurate than the per-scenario blend (the cold solve warm-starts
+      from each scenario's carry and is a strict superset of the warm
+      tick's work).
 
     Args:
       states: CtrlState with a leading batch axis on every leaf.
       model, params: unbatched RobotModel / CtrlParams.
+      compact_k: static size of the gathered cold sub-batch (clamped to
+        the batch size). 0 disables compaction — mixed ticks then route
+        the whole batch cold (the pre-r4 two-way routing).
 
     Returns:
       updated batched CtrlState.
@@ -405,9 +420,38 @@ def compute_grf_mpc_batched(states, model, params,
         x_sol, warm_out = jax.vmap(warm_branch)(lazy, warm_in)
     else:
         cold_branch, warm_branch = _grf_branches(settings, warm_settings)
-        x_sol, warm_out = jax.lax.cond(
-            jnp.any(transition),
-            jax.vmap(cold_branch), jax.vmap(warm_branch), lazy, warm_in)
+        batch = transition.shape[0]
+        k = min(compact_k, batch)
+        all_warm = jax.vmap(warm_branch)
+        all_cold = jax.vmap(cold_branch)
+        if k == 0:
+            x_sol, warm_out = jax.lax.cond(
+                jnp.any(transition), all_cold, all_warm, lazy, warm_in)
+        else:
+            def compact(lz, warm):
+                # warm everyone (fixed shape), then gather the flagged
+                # scenarios into a static-k cold sub-batch and scatter
+                # its results (solution AND carry) over the warm ones.
+                # top_k over the 0/1 flags lists flagged indices first
+                # (ascending within ties); `valid` masks the fill.
+                x_w, w_w = all_warm(lz, warm)
+                _, idx = jax.lax.top_k(transition.astype(jnp.int32), k)
+                sub_lz = jax.tree.map(lambda a: a[idx], lz)
+                sub_w = jax.tree.map(lambda a: a[idx], warm)
+                x_c, w_c = all_cold(sub_lz, sub_w)
+                valid = transition[idx]
+
+                def merge(full, sub):
+                    v = valid.reshape((k,) + (1,) * (sub.ndim - 1))
+                    return full.at[idx].set(jnp.where(v, sub, full[idx]))
+
+                return merge(x_w, x_c), jax.tree.map(merge, w_w, w_c)
+
+            n_flag = jnp.sum(transition)
+            branch = ((n_flag > 0).astype(jnp.int32)
+                      + (n_flag > k).astype(jnp.int32))
+            x_sol, warm_out = jax.lax.switch(
+                branch, [all_warm, compact, all_cold], lazy, warm_in)
     return jax.vmap(_finish_grf)(states, x_sol, warm_out, lazy.gradient)
 
 
@@ -562,13 +606,15 @@ def control_step(state, model, params, dt, solver_type=MPC,
 def control_step_batched(states, model, params, dt,
                          settings=admm.ADMMSettings(),
                          use_terrain_adapt=True,
-                         warm_settings=WARM_SETTINGS, robust=False):
+                         warm_settings=WARM_SETTINGS, robust=False,
+                         compact_k=256):
     """Batched :func:`control_step` (MPC branch) with batch-level
-    transition routing — see :func:`compute_grf_mpc_batched`. The
-    plan/swing/torque stages vmap per scenario; only the GRF solve's
-    cold-vs-warm decision is lifted above the batch (or removed
-    entirely with ``robust=True``, the uniform program for walking
-    sweeps whose per-scenario transitions desynchronize).
+    transition routing + cold-solve compaction — see
+    :func:`compute_grf_mpc_batched`. The plan/swing/torque stages vmap
+    per scenario; only the GRF solve's cold-vs-warm decision is lifted
+    above the batch (or removed entirely with ``robust=True``, the
+    uniform program for walking sweeps whose per-scenario transitions
+    desynchronize).
 
     Args:
       states: CtrlState with a leading batch axis; model/params unbatched.
@@ -578,6 +624,6 @@ def control_step_batched(states, model, params, dt,
         lambda s: swing.generate_swing_legs_ctrl(s, params, dt))(states)
     states = compute_grf_mpc_batched(states, model, params, settings,
                                      use_terrain_adapt, warm_settings,
-                                     robust=robust)
+                                     robust=robust, compact_k=compact_k)
     return jax.vmap(
         lambda s: torque.compute_joint_torques(s, params))(states)

@@ -137,7 +137,7 @@ def rollout_batched(carry, model, params, num_steps, dt,
                     estimate=True, use_terrain_adapt=True,
                     ground_coef=None,
                     warm_settings=controller.WARM_SETTINGS,
-                    robust=False):
+                    robust=False, compact_k=256):
     """Batched closed-loop rollout with batch-level transition routing.
 
     The production batched-sweep program: where ``vmap(rollout)`` turns
@@ -175,7 +175,8 @@ def rollout_batched(carry, model, params, num_steps, dt,
         ctrl = controller.control_step_batched(
             ctrl, model, params, dt, settings=settings,
             use_terrain_adapt=use_terrain_adapt,
-            warm_settings=warm_settings, robust=robust)
+            warm_settings=warm_settings, robust=robust,
+            compact_k=compact_k)
         sim_new, forces_z = jax.vmap(
             lambda sm, tau, con, tgt: srb_sim.step(
                 sm, model, tau, con, tgt, dt, ground_coef=ground_coef)

@@ -235,6 +235,7 @@ def cmd_rl_loop(args, model, params, static):
     loop = rl_loop_lib.RLControlLoop(
         model, actor, action_period_s=rl_cfg.action_period,
         power_level=rl_cfg.power_level, hardware=not rl_cfg.use_sim_time,
+        contact_force_norm=rl_cfg.contact_force_norm,
         time_scale=args.time_scale, servo_only=args.servo_only)
     feeder = None
     try:

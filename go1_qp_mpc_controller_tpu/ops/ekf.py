@@ -89,7 +89,8 @@ def _schulz_sinv(s_mat):
 @f32_matmuls
 def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
                       foot_pos_rel, foot_vel_rel, foot_force, movement_mode,
-                      assume_flat_ground=True, innovation_solver="schulz"):
+                      assume_flat_ground=True, innovation_solver="schulz",
+                      contact_force_norm=100.0):
     """One KF predict+update tick (A1BasicEKF.cpp:70-164).
 
     Args:
@@ -104,6 +105,13 @@ def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
       foot_force: (4,) contact sensor forces.
       movement_mode: () int; 0 = stand (all feet assumed in contact).
       assume_flat_ground: static bool — trusts z=0 foot-height measurements.
+      contact_force_norm: full-contact force scale for the contact
+        probability estimate. The A1 stack normalizes by 100
+        (A1BasicEKF.cpp:83); the Go1 RL/hardware stack's copy normalizes
+        by 1000 for Go1 hardware force units (Go1BasicEKF.cpp:83) — with
+        the A1 constant, Go1-scale readings (~500 N resting) would
+        saturate every leg to "contact" and the swing-leg noise
+        inflation would never engage.
 
     Returns:
       EKFResult.
@@ -112,8 +120,8 @@ def update_estimation(x, P, dt, root_rot_mat, imu_acc, imu_ang_vel,
     eye3 = jnp.eye(3, dtype=dtype)
     c_mat = _measurement_matrix(dtype)
 
-    # contact estimate (A1BasicEKF.cpp:79-86)
-    contacts_walk = jnp.clip(foot_force / 100.0, 0.0, 1.0)
+    # contact estimate (A1BasicEKF.cpp:79-86; Go1BasicEKF.cpp:83)
+    contacts_walk = jnp.clip(foot_force / contact_force_norm, 0.0, 1.0)
     est_c = jnp.where(movement_mode == 0, jnp.ones((4,), dtype),
                       contacts_walk.astype(dtype))
     infl = 1.0 + (1.0 - est_c) * 1e3    # (4,) swing-leg noise inflation

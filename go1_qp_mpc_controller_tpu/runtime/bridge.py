@@ -34,6 +34,8 @@ def _load():
     lib.rt_bridge_push_sensors.argtypes = [ctypes.c_void_p] + [dptr] * 6
     lib.rt_bridge_read_sensors.argtypes = [ctypes.c_void_p, dptr]
     lib.rt_bridge_read_sensors.restype = ctypes.c_int64
+    lib.rt_bridge_set_leg_order.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_int]
     lib.rt_bridge_set_foot_filter.argtypes = [ctypes.c_void_p,
                                               ctypes.c_int]
     lib.rt_bridge_push_command.argtypes = [ctypes.c_void_p] + [dptr] * 4
@@ -58,18 +60,28 @@ def _as_dptr(arr):
 class RtBridge:
     """Lock-free sensor/command blackboard with safety clamps."""
 
-    def __init__(self, power_level=5, foot_filter_window=0):
+    def __init__(self, power_level=5, foot_filter_window=0,
+                 sdk_leg_order=False):
         """Args:
           foot_filter_window: 5-sample receive-side foot-force ring
             filter (HardwareA1ROS.cpp:300-312); 0 = raw passthrough (the
             Gazebo adapter does not filter). The divisor is always the
             full window — the reference quirk (first pushes read low).
+          sdk_leg_order: True for a real Unitree SDK feed — sensor frames
+            are pushed in wire order (FR, FL, RR, RL) and command frames
+            read back in wire order; the bridge remaps to/from the
+            controller order (FL, FR, RL, RR) like the reference's
+            swap_joint_indices/swap_foot_indices
+            (HardwareA1ROS.cpp:78-79, 293-298). Sim feeders already
+            speak controller order and leave this off.
         """
         self._lib = _load()
         self._h = self._lib.rt_bridge_create(int(power_level))
         if foot_filter_window:
             self._lib.rt_bridge_set_foot_filter(self._h,
                                                 int(foot_filter_window))
+        if sdk_leg_order:
+            self._lib.rt_bridge_set_leg_order(self._h, 1)
 
     def close(self):
         if self._h:

@@ -85,6 +85,13 @@ struct Seqlock {
 constexpr int kFootFilterWindow = 5;  // FOOT_FILTER_WINDOW_SIZE,
                                       // HardwareA1ROS.h:42
 
+// Unitree SDK wire order (FR, FL, RR, RL) <-> controller order
+// (FL, FR, RL, RR): the involution swap tables the reference applies on
+// both the receive unpack and the command pack
+// (HardwareA1ROS.cpp:78-79, 293-298, send_cmd:190).
+constexpr int kSwapJoint[kNumJoints] = {3, 4, 5, 0, 1, 2, 9, 10, 11, 6, 7, 8};
+constexpr int kSwapFoot[4] = {1, 0, 3, 2};
+
 struct Bridge {
   Seqlock<SensorFrame> sensors;
   Seqlock<CommandFrame> commands;
@@ -100,6 +107,10 @@ struct Bridge {
   double foot_ring[4][kFootFilterWindow] = {};
   double foot_ring_sum[4] = {};
   int foot_ring_idx[4] = {};
+  // true = sensor frames arrive (and command frames leave) in the SDK
+  // wire order FR, FL, RR, RL and the bridge remaps to/from controller
+  // order FL, FR, RL, RR. False (sim feeders) = already controller order.
+  bool sdk_leg_order = false;
 };
 
 // Compensated-sleep rate keeper: period minus elapsed work time, never
@@ -153,6 +164,21 @@ void rt_bridge_push_sensors(void* h, const double* quat, const double* acc,
   std::memcpy(f.quat, quat, sizeof(f.quat));
   std::memcpy(f.acc, acc, sizeof(f.acc));
   std::memcpy(f.gyro, gyro, sizeof(f.gyro));
+  double jp[kNumJoints], jv[kNumJoints], ff[4];
+  if (b->sdk_leg_order) {
+    // SDK wire order -> controller order (HardwareA1ROS.cpp:293-298);
+    // the foot filter below then runs on the controller-ordered stream,
+    // exactly like the reference indexes its filter rings by the
+    // controller leg while reading state.footForce[swap_i]
+    for (int i = 0; i < kNumJoints; ++i) {
+      jp[i] = joint_pos[kSwapJoint[i]];
+      jv[i] = joint_vel[kSwapJoint[i]];
+    }
+    for (int i = 0; i < 4; ++i) ff[i] = foot_force[kSwapFoot[i]];
+    joint_pos = jp;
+    joint_vel = jv;
+    foot_force = ff;
+  }
   std::memcpy(f.joint_pos, joint_pos, sizeof(f.joint_pos));
   std::memcpy(f.joint_vel, joint_vel, sizeof(f.joint_vel));
   if (b->foot_filter_window > 0) {
@@ -229,11 +255,31 @@ int64_t rt_bridge_read_command(void* h, double* out /* 12*4 */) {
   auto* b = static_cast<Bridge*>(h);
   CommandFrame c;
   b->commands.read(&c);
+  if (b->sdk_leg_order) {
+    // controller order -> SDK wire order for the UDP send path
+    // (HardwareA1ROS.cpp:190: cmd.motorCmd[i].tau = torques(swap_i))
+    for (int i = 0; i < kNumJoints; ++i) {
+      const int s = kSwapJoint[i];
+      out[i] = c.tau[s];
+      out[12 + i] = c.q[s];
+      out[24 + i] = c.kp[s];
+      out[36 + i] = c.kd[s];
+    }
+    return c.tick;
+  }
   std::memcpy(out, c.tau, sizeof(c.tau));
   std::memcpy(out + 12, c.q, sizeof(c.q));
   std::memcpy(out + 24, c.kp, sizeof(c.kp));
   std::memcpy(out + 36, c.kd, sizeof(c.kd));
   return c.tick;
+}
+
+// enable = 1: sensor frames are pushed in SDK wire order (FR, FL, RR, RL)
+// and command frames are read back in SDK wire order; the bridge's
+// internal blackboard (and everything the controller sees) stays in
+// controller order (FL, FR, RL, RR). Matches HardwareA1ROS.cpp:78-79.
+void rt_bridge_set_leg_order(void* h, int sdk_order) {
+  static_cast<Bridge*>(h)->sdk_leg_order = sdk_order != 0;
 }
 
 // --- rate keeper ----------------------------------------------------------

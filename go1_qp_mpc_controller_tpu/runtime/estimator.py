@@ -25,7 +25,7 @@ from go1_qp_mpc_controller_tpu.ops import ekf
 from go1_qp_mpc_controller_tpu.utils import rotations
 
 
-def make_estimator_step(model, dtype=None):
+def make_estimator_step(model, dtype=None, contact_force_norm=100.0):
     """Jitted per-frame estimator: raw sensor sample -> EKF update.
 
     The per-frame work mirrors the reference's receive thread
@@ -51,7 +51,8 @@ def make_estimator_step(model, dtype=None):
         foot_vel_rel = jnp.einsum('lij,lj->li', j_foot, dq_legs)
         return ekf.update_estimation(x, P, dt, rot, acc, gyro,
                                      foot_pos_rel, foot_vel_rel,
-                                     foot_force, movement_mode)
+                                     foot_force, movement_mode,
+                                     contact_force_norm=contact_force_norm)
 
     return jax.jit(step)
 
@@ -70,10 +71,13 @@ class EstimatorThread:
         CtrlState's estimator fields).
       sensor_period_s: the feed cadence (reference: 1 ms, A1Params.h:12).
       time_scale: wall-clock slowdown factor (match the loop/feeder).
+      contact_force_norm: KF full-contact force scale (100 A1 / 1000 Go1
+        hardware units, Go1BasicEKF.cpp:83).
     """
 
     def __init__(self, bridge, model, init_x, init_P,
-                 sensor_period_s=0.001, time_scale=1.0):
+                 sensor_period_s=0.001, time_scale=1.0,
+                 contact_force_norm=100.0):
         import jax
         import jax.numpy as jnp
 
@@ -92,7 +96,8 @@ class EstimatorThread:
         with jax.default_device(cpu):
             self._x = jax.device_put(jnp.asarray(init_x), cpu)
             self._P = jax.device_put(jnp.asarray(init_P), cpu)
-            self._step = make_estimator_step(model)
+            self._step = make_estimator_step(
+                model, contact_force_norm=contact_force_norm)
             # compile before the RT loop (result discarded)
             z3 = jnp.zeros(3, dtype)
             jax.block_until_ready(self._step(

@@ -39,11 +39,15 @@ class RLControlLoop:
       hardware: True enables the hardware receive-path foot filter and
         PowerProtect budget on the bridge.
       time_scale: real-time factor (see runtime/loop.py).
+      contact_force_norm: KF full-contact force scale. The Go1 RL stack
+        normalizes by 1000 (Go1 hardware force units, Go1BasicEKF.cpp:83)
+        where the A1 MPC stack uses 100 (A1BasicEKF.cpp:83) — the Go1
+        default here matches the stack this loop mirrors.
     """
 
     def __init__(self, model, policy_params, action_period_s=0.004,
                  power_level=5, hardware=True, time_scale=1.0,
-                 servo_only=False):
+                 servo_only=False, contact_force_norm=1000.0):
         import jax.numpy as jnp
 
         self.model = model
@@ -81,7 +85,8 @@ class RLControlLoop:
             # shared with the MPC stack (Go1 copies the same A1BasicEKF)
             res = ekf.update_estimation(est_x, est_p, dt, rot, acc, gyro,
                                         foot_pos_rel, foot_vel_rel, ff,
-                                        rl_state.movement_mode)
+                                        rl_state.movement_mode,
+                                        contact_force_norm=contact_force_norm)
             rl_state = rl_lib.switch_mode(rl_state, toggle)
             rl_state, cmd, obs = rl_lib.rl_control_step(
                 rl_state, policy_params, rot, rot_z, res.x[3:6], gyro,

@@ -81,41 +81,85 @@ def test_batched_matches_per_scenario_on_unmixed_ticks():
             err_msg=f"tick {k}")
 
 
-def test_mixed_tick_routes_whole_batch_cold():
-    """A mixed batch (one scenario's carried contact pattern invalidated)
-    must produce exactly the per-scenario warm_mode='cold' result — the
-    cold branch runs for every scenario on that tick."""
-    model = types.default_robot_model(DTYPE)
-    params = types.default_ctrl_params(DTYPE)
+def _mixed_carry(model, params, batch=4):
+    """A steady-warm batched carry with scenario 0's carried contact
+    pattern invalidated — one flagged scenario, the rest warm-viable."""
     dt = jnp.asarray(0.002, DTYPE)
-    batch = 4
     c = _batched_carry(batch, model, params)
-
     batched = jax.jit(lambda cs: controller.control_step_batched(
         cs, model, params, dt, settings=SETTINGS,
         use_terrain_adapt=False))
     # warm the carries first (3 ticks -> steady warm cadence)
     for _ in range(3):
         c = _tick(c, model, params, dt, batched)
-
-    # invalidate scenario 0's carried contact pattern only
     qc = c.ctrl.qp_warm_contacts
-    ctrl = c.ctrl._replace(
-        qp_warm_contacts=qc.at[0].set(~qc[0]))
+    ctrl = c.ctrl._replace(qp_warm_contacts=qc.at[0].set(~qc[0]))
+    return c._replace(ctrl=ctrl)
+
+
+def test_mixed_tick_compaction_matches_per_scenario_auto():
+    """VERDICT r3 item 1: a mixed batch must compute EXACTLY what the
+    per-scenario auto routing computes — the flagged scenario gets the
+    cold solve (gathered into the static-k sub-batch), every other
+    scenario gets only the warm tick. This is the per-scenario analog of
+    OSQP paying iterations only where the warm start is off
+    (A1RobotControl.cpp:522-540)."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    c_mixed = _mixed_carry(model, params)
+
+    batched = jax.jit(lambda cs: controller.control_step_batched(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False))          # default compact_k
+    per_auto = jax.jit(jax.vmap(lambda cs: controller.control_step(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False, warm_mode="auto")))
+
+    out_b = _tick(c_mixed, model, params, dt, batched)
+    out_a = _tick(c_mixed, model, params, dt, per_auto)
+    np.testing.assert_allclose(
+        np.asarray(out_b.ctrl.foot_forces_grf),
+        np.asarray(out_a.ctrl.foot_forces_grf), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(out_b.ctrl.joint_torques),
+        np.asarray(out_a.ctrl.joint_torques), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(out_b.ctrl.qp_warm_minv),
+        np.asarray(out_a.ctrl.qp_warm_minv), atol=1e-8)
+
+
+def test_mixed_tick_overflow_routes_whole_batch_cold():
+    """When the per-tick transition count exceeds compact_k (and with
+    compaction disabled, compact_k=0), the whole batch takes the cold
+    branch — exactly the per-scenario warm_mode='cold' program."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    c = _mixed_carry(model, params)
+    # flag a SECOND scenario so n_flag = 2 > compact_k = 1
+    qc = c.ctrl.qp_warm_contacts
+    ctrl = c.ctrl._replace(qp_warm_contacts=qc.at[1].set(~qc[1]))
     c_mixed = c._replace(ctrl=ctrl)
 
     all_cold = jax.jit(jax.vmap(lambda cs: controller.control_step(
         cs, model, params, dt, settings=SETTINGS,
         use_terrain_adapt=False, warm_mode="cold")))
-
-    out_b = _tick(c_mixed, model, params, dt, batched)
     out_c = _tick(c_mixed, model, params, dt, all_cold)
-    np.testing.assert_allclose(
-        np.asarray(out_b.ctrl.foot_forces_grf),
-        np.asarray(out_c.ctrl.foot_forces_grf), atol=1e-8)
-    np.testing.assert_allclose(
-        np.asarray(out_b.ctrl.qp_warm_minv),
-        np.asarray(out_c.ctrl.qp_warm_minv), atol=1e-8)
+
+    for k in (1, 0):
+        batched = jax.jit(lambda cs, kk=k: controller.control_step_batched(
+            cs, model, params, dt, settings=SETTINGS,
+            use_terrain_adapt=False, compact_k=kk))
+        out_b = _tick(c_mixed, model, params, dt, batched)
+        np.testing.assert_allclose(
+            np.asarray(out_b.ctrl.foot_forces_grf),
+            np.asarray(out_c.ctrl.foot_forces_grf), atol=1e-8,
+            err_msg=f"compact_k={k}")
+        np.testing.assert_allclose(
+            np.asarray(out_b.ctrl.qp_warm_minv),
+            np.asarray(out_c.ctrl.qp_warm_minv), atol=1e-8,
+            err_msg=f"compact_k={k}")
 
 
 def test_batched_trot_rollout_walks():

@@ -114,3 +114,39 @@ def test_f32_runs():
                                 jnp.asarray(0, jnp.int32))
     assert res.x.dtype == jnp.float32
     assert np.isfinite(np.asarray(res.x)).all()
+
+
+def test_go1_contact_force_normalizer():
+    """Go1 RL/hardware stack foot-force normalizer (Go1BasicEKF.cpp:83):
+    contact probability divides by 1000 on Go1 force units where the A1
+    stack divides by 100. A Go1-scale partial contact (300) must NOT
+    saturate under the Go1 norm, and the swing-leg measurement-noise
+    inflation must engage on a light (30) Go1 reading exactly like a
+    3 N A1 reading."""
+    rot, fpr, fvr, acc, gyro, _ = _stationary_inputs()
+    x, p = ekf.init_state(rot, fpr)
+    dt = jnp.asarray(0.002, x.dtype)
+    walk = jnp.asarray(1, jnp.int32)
+
+    ff_go1 = jnp.asarray([1000.0, 300.0, 30.0, 0.0], x.dtype)
+    res_go1 = ekf.update_estimation(x, p, dt, rot, acc, gyro, fpr, fvr,
+                                    ff_go1, walk,
+                                    contact_force_norm=1000.0)
+    np.testing.assert_allclose(np.asarray(res_go1.estimated_contacts),
+                               [1.0, 0.3, 0.03, 0.0], atol=1e-12)
+    # with the A1 constant the same frame saturates 3 of 4 legs —
+    # exactly the bug the parameter exists to prevent
+    res_wrong = ekf.update_estimation(x, p, dt, rot, acc, gyro, fpr, fvr,
+                                      ff_go1, walk,
+                                      contact_force_norm=100.0)
+    np.testing.assert_allclose(np.asarray(res_wrong.estimated_contacts),
+                               [1.0, 1.0, 0.3, 0.0], atol=1e-12)
+    # scale equivalence: Go1 reading / 1000 == A1 reading / 100 gives
+    # bit-identical filter updates
+    res_a1 = ekf.update_estimation(x, p, dt, rot, acc, gyro, fpr, fvr,
+                                   ff_go1 / 10.0, walk,
+                                   contact_force_norm=100.0)
+    np.testing.assert_allclose(np.asarray(res_go1.x),
+                               np.asarray(res_a1.x), atol=0)
+    np.testing.assert_allclose(np.asarray(res_go1.P),
+                               np.asarray(res_a1.P), atol=0)

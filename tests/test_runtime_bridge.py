@@ -98,3 +98,51 @@ def test_foot_force_ring_filter():
         np.testing.assert_allclose(s["foot_force"], ff + 10.0)
     finally:
         b.close()
+
+
+def test_sdk_leg_order_remap():
+    """FR<->FL / RR<->RL wire-order remap (HardwareA1ROS.cpp:78-79,
+    293-298, 190): an SDK-ordered sensor frame lands in controller order
+    on the blackboard, and a controller-ordered command frame reads back
+    in SDK wire order for the UDP send path."""
+    swap_j = [3, 4, 5, 0, 1, 2, 9, 10, 11, 6, 7, 8]
+    swap_f = [1, 0, 3, 2]
+    b = bridge.RtBridge(power_level=10, sdk_leg_order=True)
+    try:
+        quat = np.array([1.0, 0.0, 0.0, 0.0])
+        z3 = np.zeros(3)
+        jp_ctrl = 0.01 * np.arange(12.0)      # inside position limits
+        jv_ctrl = np.arange(12.0) + 100.0
+        ff_ctrl = np.array([11.0, 22.0, 33.0, 44.0])
+        # the SDK frame carries controller-leg i's values at wire slot
+        # swap[i] (the swap is an involution)
+        jp_sdk = jp_ctrl[swap_j]
+        jv_sdk = jv_ctrl[swap_j]
+        ff_sdk = ff_ctrl[swap_f]
+        b.push_sensors(quat, z3, z3, jp_sdk, jv_sdk, ff_sdk)
+        _, s = b.read_sensors()
+        np.testing.assert_allclose(s["joint_pos"], jp_ctrl)
+        np.testing.assert_allclose(s["joint_vel"], jv_ctrl)
+        np.testing.assert_allclose(s["foot_force"], ff_ctrl)
+
+        tau_ctrl = 0.1 * np.arange(12.0)
+        b.push_command(tau_ctrl)
+        _, c = b.read_command()
+        np.testing.assert_allclose(c["tau"], tau_ctrl[swap_j])
+    finally:
+        b.close()
+
+
+def test_sim_feeder_order_untouched():
+    """Default bridges (sim feeders) pass frames through unpermuted."""
+    b = bridge.RtBridge(power_level=10)
+    try:
+        quat = np.array([1.0, 0.0, 0.0, 0.0])
+        z3 = np.zeros(3)
+        jp = 0.01 * np.arange(12.0)
+        b.push_sensors(quat, z3, z3, jp, jp, np.arange(4.0))
+        _, s = b.read_sensors()
+        np.testing.assert_allclose(s["joint_pos"], jp)
+        np.testing.assert_allclose(s["foot_force"], np.arange(4.0))
+    finally:
+        b.close()
