@@ -35,6 +35,11 @@ class RolloutTrace(NamedTuple):
     contacts: jnp.ndarray       # (T, 4)
     est_root_pos: jnp.ndarray   # (T, 3) estimator output
     terrain_pitch: jnp.ndarray  # (T,) estimated terrain pitch
+    foot_pos_abs: jnp.ndarray   # (T, 4, 3) feet rel. root, world-aligned
+                                # (world foot = root_pos + foot_pos_abs;
+                                # feeds the swing-path visualization that
+                                # stands in for the reference's RViz
+                                # markers, A1RobotControl.cpp:65-146)
 
 
 def init_carry(model, params, height=0.3, movement_mode=0,
@@ -125,6 +130,7 @@ def rollout(carry, model, params, num_steps, dt,
             contacts=ctrl.contacts,
             est_root_pos=ctrl.root_pos,
             terrain_pitch=ctrl.terrain_pitch_angle,
+            foot_pos_abs=ctrl.foot_pos_abs,
         )
         return RolloutCarry(ctrl=ctrl, sim=sim_new,
                             stance_forces_z=forces_z), trace
@@ -192,6 +198,7 @@ def rollout_batched(carry, model, params, num_steps, dt,
             contacts=ctrl.contacts,
             est_root_pos=ctrl.root_pos,
             terrain_pitch=ctrl.terrain_pitch_angle,
+            foot_pos_abs=ctrl.foot_pos_abs,
         )
         return RolloutCarry(ctrl=ctrl, sim=sim_new,
                             stance_forces_z=forces_z), trace

@@ -60,6 +60,18 @@ def cmd_rollout(args, model, params, static):
         command_fn=command, estimate=not args.no_ekf,
         use_terrain_adapt=static.use_terrain_adapt, horizon=horizon))
     carry, trace = run(carry)
+    if getattr(args, "trace", None):
+        from go1_qp_mpc_controller_tpu.utils import viz
+        viz.save_trace(args.trace, trace, args.dt)
+        if getattr(args, "plot", None):
+            viz.plot_rollout(viz.load_trace(args.trace), args.plot,
+                             title=f"{args.preset} rollout "
+                                   f"(vx={args.vx}, {args.steps} steps)")
+    elif getattr(args, "plot", None):
+        from go1_qp_mpc_controller_tpu.utils import viz
+        viz.plot_rollout(dict(trace._asdict(), dt=args.dt), args.plot,
+                         title=f"{args.preset} rollout (vx={args.vx}, "
+                               f"{args.steps} steps)")
     pos = np.asarray(trace.root_pos)
     vel_tr = np.asarray(trace.root_lin_vel)
     print(json.dumps({
@@ -277,6 +289,14 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=None,
                    help="MPC horizon; values != 10 route the GRF solve "
                         "to the stagewise O(H) solver")
+    p.add_argument("--trace", default=None, metavar="OUT.npz",
+                   help="dump the full RolloutTrace (npz) for offline "
+                        "plotting (utils/viz.py)")
+    p.add_argument("--plot", default=None, metavar="OUT.png",
+                   help="render the gait-health figure (CoM path, foot "
+                        "swing paths, GRF timelines, terrain pitch) — "
+                        "the RViz/PlotJuggler stand-in "
+                        "(A1RobotControl.cpp:65-146)")
     p.set_defaults(fn=cmd_rollout)
 
     p = sub.add_parser("sweep")
