@@ -123,6 +123,16 @@ class ADMMSettings(NamedTuple):
     # the whole schedule runs on-chip. Batched calls reach the kernel
     # through a custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
+    # Single-pass-bf16 middle steps in the PALLAS scaled schedule: a step
+    # whose statically-known incoming lower edge (_scaled_schulz_edges)
+    # is >= this threshold runs a 1-pass bf16 product (~3x cheaper than
+    # the bf16x3 default) — the sign-flip hazard needs an eigenvalue of
+    # M_b X below the ~2e-3 product noise, so an edge of 4e-2 carries a
+    # 20x margin (the r2/r3 failures used DEFAULT on steps whose edge was
+    # BELOW the noise). 0 disables (all middle steps bf16x3). Applies to
+    # scaled (coeffs) schedules in the pallas impl only; the XLA impl
+    # stays the bitwise reference.
+    schulz_bf16_edge: float = 0.0
     # NOTE: an Anderson(1) acceleration of the warm loop was implemented
     # and measured in r3 (TPU v5e, batch 4096, drifting warm chains vs a
     # tight polished reference): at EQUAL iteration budgets it matched
@@ -197,6 +207,33 @@ def _scaled_schulz_coeffs(l0, tail=2):
         l = 4.0 * l * u_eff / ((l + u_eff) ** 2)
         u = 1.0
     return tuple(coeffs) + (1.0,) * tail
+
+
+@functools.lru_cache(maxsize=None)
+def _scaled_schulz_edges(l0, tail=2):
+    """Worst-case spectral lower edge of M_b X BEFORE each scheduled step.
+
+    Companion to :func:`_scaled_schulz_coeffs` (identical recursion): the
+    guaranteed interval before step k is [edges[k], ~1], which makes the
+    per-step matmul-precision choice STATIC — a step whose incoming lower
+    edge clears the bf16 noise floor by a safety factor can run
+    single-pass bf16 (the sign-flip hazard needs an eigenvalue below the
+    product noise; see _schulz_inverse's measured hazard notes), while
+    the early small-eigenvalue steps keep the 3-pass product. The `tail`
+    plain steps square the interval residual (1-l -> (1-l)^2).
+    """
+    margin = 1e-3
+    l, u = float(l0), 1.0 / 1.05
+    edges = []
+    while l < 0.99 and len(edges) < 60:
+        u_eff = u * (1.0 + margin) if edges else u
+        edges.append(l)
+        l = 4.0 * l * u_eff / ((l + u_eff) ** 2)
+        u = 1.0
+    for _ in range(tail):
+        edges.append(l)
+        l = 1.0 - (1.0 - l) ** 2
+    return tuple(edges)
 
 
 def _schulz_inverse(m_mat, iters, x0=None, coeffs=None):
@@ -349,19 +386,25 @@ def _schulz_refine_warm(m_mat, x0, iters):
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_schulz_fns(coeffs, iters):
+def _pallas_schulz_fns(coeffs, iters, l0=0.0, bf16_edge=0.0):
     """(cold_fn, warm_fn) pair routing Schulz inversion to the Pallas
     VMEM-resident kernel. Defined per-scenario with a custom_vmap rule:
     under a caller's vmap the whole batch lands in one pallas_call with
     scenario tiling (tile=8 keeps the MXU pipeline full across the
     sequential dot chain — tile=1 via the default pallas batching rule
-    measured 1.7x slower)."""
+    measured 1.7x slower). ``l0``/``bf16_edge`` select single-pass-bf16
+    middle steps where the static spectral edge clears the threshold
+    (see ADMMSettings.schulz_bf16_edge)."""
     from go1_qp_mpc_controller_tpu.ops import pallas_admm
+
+    precisions = None
+    if coeffs is not None and l0 > 0.0 and bf16_edge > 0.0:
+        precisions = _schedule_precisions(coeffs, l0, bf16_edge)
 
     @jax.custom_batching.custom_vmap
     def cold(m):
-        return pallas_admm.schulz_inverse_batch(m[None], iters,
-                                                coeffs=coeffs)[0]
+        return pallas_admm.schulz_inverse_batch(
+            m[None], iters, coeffs=coeffs, precisions=precisions)[0]
 
     def _bcast(x, batched, axis_size):
         # a caller's vmap may batch only some operands (e.g. a shared warm
@@ -372,22 +415,41 @@ def _pallas_schulz_fns(coeffs, iters):
     @cold.def_vmap
     def _cold_rule(axis_size, in_batched, m):
         m = _bcast(m, in_batched[0], axis_size)
-        return pallas_admm.schulz_inverse_batch(m, iters,
-                                                coeffs=coeffs), True
+        return pallas_admm.schulz_inverse_batch(
+            m, iters, coeffs=coeffs, precisions=precisions), True
 
     @jax.custom_batching.custom_vmap
     def warm(m, x0):
-        return pallas_admm.schulz_inverse_batch(m[None], iters, x0=x0[None],
-                                                coeffs=coeffs)[0]
+        return pallas_admm.schulz_inverse_batch(
+            m[None], iters, x0=x0[None], coeffs=coeffs,
+            precisions=precisions)[0]
 
     @warm.def_vmap
     def _warm_rule(axis_size, in_batched, m, x0):
         m = _bcast(m, in_batched[0], axis_size)
         x0 = _bcast(x0, in_batched[1], axis_size)
-        return pallas_admm.schulz_inverse_batch(m, iters, x0=x0,
-                                                coeffs=coeffs), True
+        return pallas_admm.schulz_inverse_batch(
+            m, iters, x0=x0, coeffs=coeffs, precisions=precisions), True
 
     return cold, warm
+
+
+def _schedule_precisions(coeffs, l0, bf16_edge):
+    """Per-step matmul precisions for a scaled schedule: HIGHEST on the
+    2-step tail, single-pass bf16 (DEFAULT) once the static lower edge
+    clears ``bf16_edge``, 3-pass bf16 below it."""
+    hi = jax.lax.Precision.HIGHEST
+    edges = _scaled_schulz_edges(l0)
+    n = len(coeffs)
+    out = []
+    for k in range(n):
+        if k >= n - 2:
+            out.append(hi)
+        elif k < len(edges) and edges[k] >= bf16_edge:
+            out.append(jax.lax.Precision.DEFAULT)
+        else:
+            out.append("bf16x3")
+    return tuple(out)
 
 
 def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
@@ -415,8 +477,9 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
             l0 = settings.schulz_l0_refine
         coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
         if settings.schulz_impl == "pallas":
-            cold_fn, warm_fn = _pallas_schulz_fns(coeffs,
-                                                  settings.schulz_iters)
+            cold_fn, warm_fn = _pallas_schulz_fns(
+                coeffs, settings.schulz_iters, l0=l0,
+                bf16_edge=settings.schulz_bf16_edge)
             minv = (cold_fn(m_mat) if warm_minv is None
                     else warm_fn(m_mat, warm_minv))
         else:

@@ -308,7 +308,7 @@ def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
 
 
 def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,
-                         interpret=None, tile=8):
+                         interpret=None, tile=8, precisions=None):
     """Batched admm._schulz_inverse as a VMEM-resident Pallas kernel.
 
     Args:
@@ -319,6 +319,10 @@ def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,
       coeffs: optional scaled schedule (admm._scaled_schulz_coeffs).
       tile: scenarios per program — interleaves independent dot chains so
         the MXU pipeline stays full across the sequential dependency.
+      precisions: optional per-step precision tuple overriding the
+        default (bf16x3 middle steps, HIGHEST 2-step tail) — e.g. the
+        static-edge-gated single-pass-bf16 schedule from
+        admm._schedule_precisions.
 
     Returns:
       (B, n, n) unbalanced inverses, matching admm._schulz_inverse.
@@ -331,8 +335,10 @@ def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,
         coeffs = (1.0,) * iters
     hi = jax.lax.Precision.HIGHEST
     hi_tail = min(len(coeffs), 2)
-    precisions = tuple(hi if k >= len(coeffs) - hi_tail else "bf16x3"
-                       for k in range(len(coeffs)))
+    if precisions is None:
+        precisions = tuple(hi if k >= len(coeffs) - hi_tail else "bf16x3"
+                           for k in range(len(coeffs)))
+    assert len(precisions) == len(coeffs)
     pad = (-n) % 128
     npd = n + pad
     idx = jnp.arange(npd)
