@@ -99,6 +99,16 @@ class ADMMSettings(NamedTuple):
     polish_solver: str = "chol"  # polish matrix is worse-conditioned
     schulz_iters: int = 20      # Newton-Schulz steps (Jacobi-scaled init)
     schulz_refine: int = 6      # warm-tick refinement steps (solve_warm)
+    # HIGHEST-precision steps at the end of the pallas scaled schedule
+    # (bf16x3 middle steps). 2 squares the bf16x3 residual floor twice —
+    # the parity-grade default; 1 trades the last squaring (~1e-6 vs
+    # ~1e-3 interval residual on the inverse) for ~1.2 ms per schedule
+    # at batch 4096, acceptable exactly when the cold/warm accuracy
+    # gates say so.
+    schulz_hi_tail: int = 2
+    # scenarios per pallas program in the Schulz kernel (VMEM budget:
+    # ~5 x 65 KB per scenario; 16 fits the 16 MB VMEM with headroom)
+    schulz_tile: int = 8
     # Scaled (endpoint-balanced) cold Newton-Schulz: when > 0, solve()'s
     # per-segment inversions replace the plain fixed-count schedule with a
     # coefficient schedule computed for a worst-case balanced spectrum
@@ -123,16 +133,23 @@ class ADMMSettings(NamedTuple):
     # the whole schedule runs on-chip. Batched calls reach the kernel
     # through a custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
-    # Single-pass-bf16 middle steps in the PALLAS scaled schedule: a step
-    # whose statically-known incoming lower edge (_scaled_schulz_edges)
-    # is >= this threshold runs a 1-pass bf16 product (~3x cheaper than
-    # the bf16x3 default) — the sign-flip hazard needs an eigenvalue of
-    # M_b X below the ~2e-3 product noise, so an edge of 4e-2 carries a
-    # 20x margin (the r2/r3 failures used DEFAULT on steps whose edge was
-    # BELOW the noise). 0 disables (all middle steps bf16x3). Applies to
-    # scaled (coeffs) schedules in the pallas impl only; the XLA impl
-    # stays the bitwise reference.
-    schulz_bf16_edge: float = 0.0
+    # Store the per-segment KKT inverse in bfloat16 for the ADMM
+    # iteration matvecs (x_t = M^-1 rhs): the iteration loop is
+    # HBM-bound on re-reading the (n, n) inverse every iteration
+    # (236 MB/iter at batch 4096 f32 = ~0.45 ms/iter in context), and
+    # a bf16 store halves that traffic. The dot still accumulates in
+    # f32 (the convert fuses into the load); the only error is the
+    # ~4e-3 relative rounding of M^-1's ENTRIES, which perturbs the
+    # ADMM fixed point by the same relative amount — gated by the
+    # cold/warm accuracy probes. The f32 inverse is still what the
+    # WarmState carries (the Schulz basin test needs it). The LAST
+    # ``iter_f32_tail`` iterations of every segment run with the f32
+    # inverse: without them the ~4e-3 dual-residual floor of the
+    # perturbed fixed point defeats the rho-adaptation freeze guard and
+    # the carried rho poisons subsequent warm chains (measured r4:
+    # warmchain p90 3.8 N -> 133 N with a pure-bf16 loop).
+    iter_minv_bf16: bool = False
+    iter_f32_tail: int = 5
     # NOTE: an Anderson(1) acceleration of the warm loop was implemented
     # and measured in r3 (TPU v5e, batch 4096, drifting warm chains vs a
     # tight polished reference): at EQUAL iteration budgets it matched
@@ -170,7 +187,7 @@ class ADMMSolution(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _scaled_schulz_coeffs(l0, tail=2):
+def _scaled_schulz_coeffs(l0, tail=2, margin=1e-3):
     """Endpoint-balanced scaled Newton-Schulz coefficient schedule.
 
     Plain Newton-Schulz on a balanced SPD matrix spends most of its
@@ -197,8 +214,15 @@ def _scaled_schulz_coeffs(l0, tail=2):
     giving the top edge a margin/noise ~ 1000x safety factor. Step 0's
     top edge 1/1.05 is an exact bound (norminf >= lambda_max), but its
     OUTPUT carries product noise, so u = 1 + margin from step 1 on.
+
+    ``margin`` must exceed the per-step matmul noise by ~10x: 1e-3 for
+    the bf16x3 default (~1e-6 product error, 1000x factor); 4e-2 when
+    single-pass-bf16 steps are enabled (bf16 OPERAND rounding ~4e-3 —
+    measured: margin 1e-3 + bf16x1 steps overflows to 1e31 through the
+    positivity cliff, exactly the hazard note above). A larger margin
+    costs at most one extra step (the balanced cap 4 l u'/(l+u')^2 is
+    insensitive to u' for l << 1).
     """
-    margin = 1e-3
     l, u = float(l0), 1.0 / 1.05
     coeffs = []
     while l < 0.99 and len(coeffs) < 60:
@@ -207,33 +231,6 @@ def _scaled_schulz_coeffs(l0, tail=2):
         l = 4.0 * l * u_eff / ((l + u_eff) ** 2)
         u = 1.0
     return tuple(coeffs) + (1.0,) * tail
-
-
-@functools.lru_cache(maxsize=None)
-def _scaled_schulz_edges(l0, tail=2):
-    """Worst-case spectral lower edge of M_b X BEFORE each scheduled step.
-
-    Companion to :func:`_scaled_schulz_coeffs` (identical recursion): the
-    guaranteed interval before step k is [edges[k], ~1], which makes the
-    per-step matmul-precision choice STATIC — a step whose incoming lower
-    edge clears the bf16 noise floor by a safety factor can run
-    single-pass bf16 (the sign-flip hazard needs an eigenvalue below the
-    product noise; see _schulz_inverse's measured hazard notes), while
-    the early small-eigenvalue steps keep the 3-pass product. The `tail`
-    plain steps square the interval residual (1-l -> (1-l)^2).
-    """
-    margin = 1e-3
-    l, u = float(l0), 1.0 / 1.05
-    edges = []
-    while l < 0.99 and len(edges) < 60:
-        u_eff = u * (1.0 + margin) if edges else u
-        edges.append(l)
-        l = 4.0 * l * u_eff / ((l + u_eff) ** 2)
-        u = 1.0
-    for _ in range(tail):
-        edges.append(l)
-        l = 1.0 - (1.0 - l) ** 2
-    return tuple(edges)
 
 
 def _schulz_inverse(m_mat, iters, x0=None, coeffs=None):
@@ -386,20 +383,22 @@ def _schulz_refine_warm(m_mat, x0, iters):
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_schulz_fns(coeffs, iters, l0=0.0, bf16_edge=0.0):
+def _pallas_schulz_fns(coeffs, iters, hi_tail=2, tile=8):
     """(cold_fn, warm_fn) pair routing Schulz inversion to the Pallas
     VMEM-resident kernel. Defined per-scenario with a custom_vmap rule:
     under a caller's vmap the whole batch lands in one pallas_call with
     scenario tiling (tile=8 keeps the MXU pipeline full across the
     sequential dot chain — tile=1 via the default pallas batching rule
-    measured 1.7x slower). ``l0``/``bf16_edge`` select single-pass-bf16
-    middle steps where the static spectral edge clears the threshold
-    (see ADMMSettings.schulz_bf16_edge)."""
+    measured 1.7x slower). ``hi_tail`` picks how many final steps run
+    HIGHEST (see ADMMSettings.schulz_hi_tail)."""
     from go1_qp_mpc_controller_tpu.ops import pallas_admm
 
     precisions = None
-    if coeffs is not None and l0 > 0.0 and bf16_edge > 0.0:
-        precisions = _schedule_precisions(coeffs, l0, bf16_edge)
+    if coeffs is not None:
+        hi = jax.lax.Precision.HIGHEST
+        n = len(coeffs)
+        precisions = tuple(hi if k >= n - hi_tail else "bf16x3"
+                           for k in range(n))
 
     @jax.custom_batching.custom_vmap
     def cold(m):
@@ -416,7 +415,8 @@ def _pallas_schulz_fns(coeffs, iters, l0=0.0, bf16_edge=0.0):
     def _cold_rule(axis_size, in_batched, m):
         m = _bcast(m, in_batched[0], axis_size)
         return pallas_admm.schulz_inverse_batch(
-            m, iters, coeffs=coeffs, precisions=precisions), True
+            m, iters, coeffs=coeffs, precisions=precisions,
+            tile=tile), True
 
     @jax.custom_batching.custom_vmap
     def warm(m, x0):
@@ -429,27 +429,27 @@ def _pallas_schulz_fns(coeffs, iters, l0=0.0, bf16_edge=0.0):
         m = _bcast(m, in_batched[0], axis_size)
         x0 = _bcast(x0, in_batched[1], axis_size)
         return pallas_admm.schulz_inverse_batch(
-            m, iters, x0=x0, coeffs=coeffs, precisions=precisions), True
+            m, iters, x0=x0, coeffs=coeffs, precisions=precisions,
+            tile=tile), True
 
     return cold, warm
 
 
-def _schedule_precisions(coeffs, l0, bf16_edge):
-    """Per-step matmul precisions for a scaled schedule: HIGHEST on the
-    2-step tail, single-pass bf16 (DEFAULT) once the static lower edge
-    clears ``bf16_edge``, 3-pass bf16 below it."""
-    hi = jax.lax.Precision.HIGHEST
-    edges = _scaled_schulz_edges(l0)
-    n = len(coeffs)
-    out = []
-    for k in range(n):
-        if k >= n - 2:
-            out.append(hi)
-        elif k < len(edges) and edges[k] >= bf16_edge:
-            out.append(jax.lax.Precision.DEFAULT)
-        else:
-            out.append("bf16x3")
-    return tuple(out)
+def _schedule_precisions(coeffs, l0, bf16_edge, margin=1e-3):
+    """DEAD LEVER, kept as a measured negative result (r4): TRUE
+    single-pass-bf16 middle steps ("bf16x1") diverge to ~1e31 even with
+    a noise-proportionate top-edge margin — the failure is NOT the
+    positivity-cliff margin but CANCELLATION AMPLIFICATION: the iterate
+    X ~ M_b^-1 has entries of size cond(M_b) (~1e3 on controller KKTs),
+    so the 4e-3 bf16 OPERAND rounding produces O(1) ABSOLUTE error on
+    the near-identity product M_b X, flipping eigenvalues far below any
+    schedulable edge. bf16x3 works because its ~1e-6 product error times
+    the same amplification stays under the small-eigenvalue scale. No
+    precision schedule can rescue a 1-pass product here; the honest
+    knobs are schulz_hi_tail and schulz_tile.
+    """
+    raise NotImplementedError("bf16x1 middle steps are a measured "
+                              "negative result; see docstring")
 
 
 def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
@@ -475,23 +475,30 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         l0 = settings.schulz_l0
         if warm_minv is not None and settings.schulz_l0_refine > 0:
             l0 = settings.schulz_l0_refine
+        # single-pass-bf16 steps need the widened top-edge margin (see
+        # _scaled_schulz_coeffs); only the pallas impl runs them
         coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
         if settings.schulz_impl == "pallas":
             cold_fn, warm_fn = _pallas_schulz_fns(
-                coeffs, settings.schulz_iters, l0=l0,
-                bf16_edge=settings.schulz_bf16_edge)
+                coeffs, settings.schulz_iters,
+                hi_tail=settings.schulz_hi_tail,
+                tile=settings.schulz_tile)
             minv = (cold_fn(m_mat) if warm_minv is None
                     else warm_fn(m_mat, warm_minv))
         else:
             minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv,
                                    coeffs)
+    if getattr(settings, "iter_minv_bf16", False):
+        minv_b = minv.astype(jnp.bfloat16)
+        return (lambda rhs: jnp.matmul(minv_b.astype(m_mat.dtype), rhs)), \
+            minv
     return (lambda rhs: minv @ rhs), minv
 
 
 @f32_matmuls
 def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
           settings, warm_x=None, warm_y=None, warm_rho=None,
-          return_warm=False):
+          return_warm=False, kkt_fused=None):
     """Solve min 1/2 x'Px + q'x s.t. lb <= Cx <= ub for one QP.
 
     Args:
@@ -502,6 +509,11 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
       rmatvec_dense: w (m,) -> C' diag(w) C (n, n) (structure-exploiting).
       settings: ADMMSettings (loop bounds are static).
       warm_x, warm_y, warm_rho: optional warm starts from a previous tick.
+      kkt_fused: optional (pbar, sigma, rho_vec) -> M builder that fuses
+        the band construction into one output pass (the friction-pyramid
+        _pyramid_kkt_fused) — the unfused ``pbar + sigma I +
+        rmatvec_dense(rho_vec)`` costs ~7 HBM passes per SEGMENT at
+        batch 4096 (~3 ms extra per cold solve, measured r4).
 
     Returns:
       ADMMSolution (duals in unscaled units).
@@ -534,25 +546,41 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
     def segment(carry, minv_prev, rho_of_minv, seg_iters):
         x, z, y, rho = carry
         rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
-        m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
+        if kkt_fused is not None:
+            m_mat = kkt_fused(pbar, sigma, rho_vec)
+        else:
+            m_mat = pbar + sigma * eye_n + rmatvec_dense(rho_vec)
         if minv_prev is not None:
             # M scales ~ rho when the constraint term dominates, so rescale
             # the warm inverse by the rho ratio before refining
             minv_prev = minv_prev * (rho_of_minv / rho)
         kkt_solve, minv = _make_kkt_solve(m_mat, settings, minv_prev)
 
-        def body(_, c4):
-            x, z, y = c4
-            rhs = sigma * x - qbar + rmatvec(rho_vec * z - y)
-            x_t = kkt_solve(rhs)
-            z_t = matvec(x_t)
-            x_new = alpha * x_t + (1.0 - alpha) * x
-            z_mid = alpha * z_t + (1.0 - alpha) * z
-            z_new = jnp.clip(z_mid + y / rho_vec, lb_f, ub_f)
-            y_new = y + rho_vec * (z_mid - z_new)
-            return x_new, z_new, y_new
+        def make_body(solve_fn):
+            def body(_, c4):
+                x, z, y = c4
+                rhs = sigma * x - qbar + rmatvec(rho_vec * z - y)
+                x_t = solve_fn(rhs)
+                z_t = matvec(x_t)
+                x_new = alpha * x_t + (1.0 - alpha) * x
+                z_mid = alpha * z_t + (1.0 - alpha) * z
+                z_new = jnp.clip(z_mid + y / rho_vec, lb_f, ub_f)
+                y_new = y + rho_vec * (z_mid - z_new)
+                return x_new, z_new, y_new
+            return body
 
-        x, z, y = jax.lax.fori_loop(0, seg_iters, body, (x, z, y))
+        if settings.iter_minv_bf16 and minv is not None:
+            # bf16-stored inverse for the bulk, f32 tail to land on the
+            # true fixed point (clean residuals for the rho adaptation
+            # and carry — see the iter_minv_bf16 settings note)
+            tail = min(settings.iter_f32_tail, seg_iters)
+            x, z, y = jax.lax.fori_loop(
+                0, seg_iters - tail, make_body(kkt_solve), (x, z, y))
+            x, z, y = jax.lax.fori_loop(
+                0, tail, make_body(lambda rhs: minv @ rhs), (x, z, y))
+        else:
+            x, z, y = jax.lax.fori_loop(0, seg_iters,
+                                        make_body(kkt_solve), (x, z, y))
 
         # adaptive rho (OSQP eq. 5.2): relative primal/dual residual ratio
         cx = matvec(x)
@@ -1040,9 +1068,11 @@ def mpc_solve(qp, settings=ADMMSettings(), warm_x=None, warm_y=None,
                               dtype=qp.hessian.dtype)
     matvec = functools.partial(srb.constraint_matvec, mu=mu)
     rmatvec = functools.partial(srb.constraint_rmatvec, mu=mu)
+    fused = functools.partial(_pyramid_kkt_fused, mu=mu)
     return solve(qp.hessian, qp.gradient, qp.lb, qp.ub, matvec, rmatvec,
                  dense, settings, warm_x=warm_x, warm_y=warm_y,
-                 warm_rho=warm_rho, return_warm=return_warm)
+                 warm_rho=warm_rho, return_warm=return_warm,
+                 kkt_fused=lambda pb, sg, rv: fused(pb, sg, rv))
 
 
 def mpc_solve_warm(qp, warm, settings=ADMMSettings(), mu=None):

@@ -251,19 +251,28 @@ def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
     dims = (((2,), (1,)), ((0,), (0,)))
 
     def dot(a, b, prec):
-        if prec == "bf16x3":
-            # Mosaic has no Precision.HIGH lowering; emit the same 3-pass
-            # bf16 product manually (a_hi b_hi + a_hi b_lo + a_lo b_hi)
+        if prec in ("bf16x3", "bf16x1"):
+            # Mosaic has no Precision.HIGH lowering; emit the 3-pass
+            # bf16 product manually (a_hi b_hi + a_hi b_lo + a_lo b_hi).
+            # "bf16x1" keeps only the leading product — a TRUE single
+            # MXU pass (Precision.DEFAULT on f32 operands measured NO
+            # speedup here, so the cast is explicit); its ~4e-3 operand
+            # rounding requires the widened top-edge margin in the
+            # coefficient schedule (admm._scaled_schulz_coeffs margin
+            # arg) — with the 1e-3 margin it overflows exactly like the
+            # r2 hazard note predicts (measured 1e31 blowup).
             ah = a.astype(jnp.bfloat16)
-            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
             bh = b.astype(jnp.bfloat16)
-            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
             # explicit DEFAULT precision: an ambient f32_matmuls context
             # would otherwise stamp fp32 contract precision onto bf16
             # operands, which Mosaic rejects ("Bad lhs type")
             d = lambda x, y: jax.lax.dot_general(
                 x, y, dims, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
+            if prec == "bf16x1":
+                return d(ah, bh)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
             return d(ah, bh) + d(ah, bl) + d(al, bh)
         return jax.lax.dot_general(a, b, dims, precision=prec)
 
