@@ -336,9 +336,15 @@ def main():
     # Single-segment fixed-rho schedules fail catastrophically (med
     # 84 N) — per-scenario rho adaptation between segments is
     # load-bearing.
+    # r4 trims (both measured carry-safe: warmchain accuracy unchanged,
+    # NOTES_ROUND4): 20-iteration first segment (rho estimation needs no
+    # more; 15 is the measured poison floor) and a single HIGHEST tail
+    # step per Schulz schedule. 64.4 -> ~59.5 ms at batch 4096.
     settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
+                                      first_seg_iters=20,
                                       polish=False, schulz_l0=1e-6,
                                       schulz_l0_refine=1e-4,
+                                      schulz_hi_tail=1,
                                       schulz_impl="pallas")
     # accuracy at this config (r3 probe vs a tight polished reference over
     # 8 drifting ticks x 256 random scenarios on TPU): first-step GRF

@@ -106,8 +106,10 @@ class ADMMSettings(NamedTuple):
     # at batch 4096, acceptable exactly when the cold/warm accuracy
     # gates say so.
     schulz_hi_tail: int = 2
-    # scenarios per pallas program in the Schulz kernel (VMEM budget:
-    # ~5 x 65 KB per scenario; 16 fits the 16 MB VMEM with headroom)
+    # scenarios per pallas program in the Schulz kernel. 8 is the VMEM
+    # ceiling in practice: the kernel's per-tile intermediates (masks,
+    # balanced matrix, iterate, inner product) put tile=16 over the
+    # 16 MB scoped VMEM limit (measured OOM at compile).
     schulz_tile: int = 8
     # Scaled (endpoint-balanced) cold Newton-Schulz: when > 0, solve()'s
     # per-segment inversions replace the plain fixed-count schedule with a
@@ -133,23 +135,15 @@ class ADMMSettings(NamedTuple):
     # the whole schedule runs on-chip. Batched calls reach the kernel
     # through a custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
-    # Store the per-segment KKT inverse in bfloat16 for the ADMM
-    # iteration matvecs (x_t = M^-1 rhs): the iteration loop is
-    # HBM-bound on re-reading the (n, n) inverse every iteration
-    # (236 MB/iter at batch 4096 f32 = ~0.45 ms/iter in context), and
-    # a bf16 store halves that traffic. The dot still accumulates in
-    # f32 (the convert fuses into the load); the only error is the
-    # ~4e-3 relative rounding of M^-1's ENTRIES, which perturbs the
-    # ADMM fixed point by the same relative amount — gated by the
-    # cold/warm accuracy probes. The f32 inverse is still what the
-    # WarmState carries (the Schulz basin test needs it). The LAST
-    # ``iter_f32_tail`` iterations of every segment run with the f32
-    # inverse: without them the ~4e-3 dual-residual floor of the
-    # perturbed fixed point defeats the rho-adaptation freeze guard and
-    # the carried rho poisons subsequent warm chains (measured r4:
-    # warmchain p90 3.8 N -> 133 N with a pure-bf16 loop).
-    iter_minv_bf16: bool = False
-    iter_f32_tail: int = 5
+    # NOTE (r4 negative result): storing the per-segment KKT inverse in
+    # bfloat16 for the iteration matvecs halves the loop's dominant HBM
+    # stream and saved a real ~8 ms/cold-solve — but the bf16-perturbed
+    # trajectory contaminates the CARRIED duals (the rho_eq-boosted
+    # equality rows carry O(1e3)-scale multipliers whose 4e-3 rounding
+    # the 15-iteration warm budget cannot re-converge): warmchain p90
+    # 3.8 N -> 133 N, and an f32 tail of 5-8 final iterations per
+    # segment only brought it back to 86-140 N. Removed; the iteration
+    # loop's f32 HBM traffic is load-bearing for the warm cadence.
     # NOTE: an Anderson(1) acceleration of the warm loop was implemented
     # and measured in r3 (TPU v5e, batch 4096, drifting warm chains vs a
     # tight polished reference): at EQUAL iteration budgets it matched
@@ -488,10 +482,6 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         else:
             minv = _schulz_inverse(m_mat, settings.schulz_iters, warm_minv,
                                    coeffs)
-    if getattr(settings, "iter_minv_bf16", False):
-        minv_b = minv.astype(jnp.bfloat16)
-        return (lambda rhs: jnp.matmul(minv_b.astype(m_mat.dtype), rhs)), \
-            minv
     return (lambda rhs: minv @ rhs), minv
 
 
@@ -569,18 +559,8 @@ def solve(hessian, gradient, lb, ub, matvec, rmatvec, rmatvec_dense,
                 return x_new, z_new, y_new
             return body
 
-        if settings.iter_minv_bf16 and minv is not None:
-            # bf16-stored inverse for the bulk, f32 tail to land on the
-            # true fixed point (clean residuals for the rho adaptation
-            # and carry — see the iter_minv_bf16 settings note)
-            tail = min(settings.iter_f32_tail, seg_iters)
-            x, z, y = jax.lax.fori_loop(
-                0, seg_iters - tail, make_body(kkt_solve), (x, z, y))
-            x, z, y = jax.lax.fori_loop(
-                0, tail, make_body(lambda rhs: minv @ rhs), (x, z, y))
-        else:
-            x, z, y = jax.lax.fori_loop(0, seg_iters,
-                                        make_body(kkt_solve), (x, z, y))
+        x, z, y = jax.lax.fori_loop(0, seg_iters,
+                                    make_body(kkt_solve), (x, z, y))
 
         # adaptive rho (OSQP eq. 5.2): relative primal/dual residual ratio
         cx = matvec(x)

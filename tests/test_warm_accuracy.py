@@ -34,8 +34,10 @@ def test_warm_tick_tracks_tight_reference():
     # cold schedule and the 15-iteration warm tick whose accuracy the
     # JSON fields record
     settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
+                                      first_seg_iters=20,
                                       polish=False, schulz_l0=1e-6,
                                       schulz_l0_refine=1e-4,
+                                      schulz_hi_tail=1,
                                       schulz_impl="pallas")
     settings_warm = admm.ADMMSettings(seg_iters=15, segments=1,
                                       polish=False, schulz_refine=1)
