@@ -79,15 +79,59 @@ ROBUST_WARM_SETTINGS = admm.ADMMSettings(seg_iters=40, segments=1,
 WARM_RHO_MIN = 0.02
 WARM_RHO_MAX = 50.0
 
-# Gradient-drift trigger for cold re-solves: a warm tick's fixed budget
-# tracks the QP optimum faithfully while the per-tick gradient drift is
-# small (steady trot measures ~3e-3 relative; warm-vs-cold GRF diff then
-# < 0.5 N), but lags by tens of N during fast transients (mode switches,
-# velocity steps, post-warmup force ramps: drift 2e-2..0.35). Ticks whose
-# gradient moved more than this relative threshold take the full cold
-# solve — the fixed-budget analog of OSQP iterating to tolerance no
-# matter how far the warm start is.
-WARM_DRIFT_TOL = 0.01
+# Gradient-drift trigger for cold re-solves: ticks whose QP gradient
+# moved more than this relative threshold take the full cold solve —
+# the fixed-budget analog of OSQP iterating to tolerance no matter how
+# far the warm start is. Calibration history: r3 set 0.01 from an
+# early-warm-path measurement ("lags by tens of N at drift 2e-2+"), but
+# that predates the per-tick Schulz-refined inverse carry; the r4
+# teacher-forced measurement (TPU, batch 4096, closed-loop trot at
+# 0.25 m/s, whose per-tick drift is p50 4.6e-2 / p90 0.11 — the 0.01
+# threshold routed ~95% of scenarios cold EVERY tick) shows the
+# 20-iteration production warm tick tracks cold solves at p50 0.5 N /
+# p95 1.5 N / max 6 N through that entire drift band. 0.2 keeps the
+# cold route for genuine transients (mode switches / velocity steps /
+# post-warmup ramps reach drift 0.2..0.35) while letting the steady
+# gait run warm; closed-loop gates: tests/test_warm_ticks.py (teacher-
+# forced transition tail), tests/test_batched_transition.py,
+# tests/test_walking.py.
+WARM_DRIFT_TOL = 0.2
+
+# Young-carry guard: for the first ticks of a controller's life (the
+# 10-tick zero-torque warmup + the stand force ramp, torque.py /
+# A1RobotControl.cpp:292-295) the gradient legitimately moves 5-35% per
+# tick while the carried duals have no converged history — the 20-
+# iteration warm tick lags that ramp by up to ~50 N (measured r4,
+# teacher-forced). Route those ticks cold unconditionally; after the
+# ramp the drift trigger takes over. Steady-state programs (the bench's
+# warmed chains, long rollouts) never see this branch.
+WARM_YOUNG_TICKS = 40
+
+# Post-flip cold window (ticks, in gait-counter units / counter speed):
+# a contact flip restarts the carried duals (trot flips all four legs'
+# constraint patterns at once), and the restarted duals need a few
+# hundred ADMM iterations to re-converge on the semi-degenerate 4-leg
+# load-distribution directions ("even 320 iterations leave ~5 N",
+# tests/test_warm_ticks.py notes) — a 20-iteration warm tick lags cold
+# by 20-30 N for ~10 ticks after each flip (measured r4, teacher-
+# forced). Ticks within this window of a phase boundary route cold —
+# the window is derived from the gait counters (no new carry state),
+# applies only while walking, and is synchronized across a batch that
+# shares gait phase, so the batched program pays it as whole-batch cold
+# on ~2W of every 120 ticks. This is the fixed-budget analog of OSQP
+# spending more iterations right after contact flips.
+WARM_POSTFLIP_TICKS = 10.0
+
+
+def _post_flip(state, params):
+    """() bool — within WARM_POSTFLIP_TICKS control ticks after any
+    leg's stance/swing hand-off (phase 0 or counter_per_swing)."""
+    phase = jnp.mod(state.gait_counter, params.counter_per_gait)
+    since = jnp.where(phase >= params.counter_per_swing,
+                      phase - params.counter_per_swing, phase)  # counts
+    speed = jnp.maximum(jnp.max(params.gait_counter_speed), 1e-6)
+    return ((state.movement_mode != 0)
+            & (jnp.min(since) < WARM_POSTFLIP_TICKS * speed))
 
 
 class SensorData(NamedTuple):
@@ -264,7 +308,8 @@ def compute_grf_mpc(state, model, params,
         return _finish_grf(state, sol.x, warm_out,
                            grad_carry=lazy.gradient)
 
-    warm_in, transition = _transition_test(state, lazy, warm_settings)
+    warm_in, transition = _transition_test(state, lazy, warm_settings,
+                                            params)
     cold_branch, warm_branch = _grf_branches(settings, warm_settings)
 
     if warm_mode == "warm":
@@ -279,7 +324,7 @@ def compute_grf_mpc(state, model, params,
     return _finish_grf(state, x_sol, warm_out, grad_carry=lazy.gradient)
 
 
-def _transition_test(state, lazy, warm_settings):
+def _transition_test(state, lazy, warm_settings, params):
     """Per-scenario cold-route test + warm-carry repair.
 
     A cold solve is forced when (a) the contact pattern flipped (the KKT
@@ -304,6 +349,8 @@ def _transition_test(state, lazy, warm_settings):
                   / (jnp.max(jnp.abs(lazy.gradient)) + 1e-9))
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
     transition = (contact_flip
+                  | (state.mpc_init_counter < WARM_YOUNG_TICKS)
+                  | _post_flip(state, params)
                   | (grad_drift > WARM_DRIFT_TOL)
                   | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
     swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
@@ -343,7 +390,7 @@ def compute_grf_mpc_batched(states, model, params,
                             settings=admm.ADMMSettings(),
                             use_terrain_adapt=True,
                             warm_settings=WARM_SETTINGS,
-                            robust=False, compact_k=256):
+                            robust=False, compact_k=128):
     """Batched MPC GRF solve with BATCH-LEVEL transition routing and
     per-scenario cold-solve COMPACTION.
 
@@ -376,8 +423,11 @@ def compute_grf_mpc_batched(states, model, params,
       states: CtrlState with a leading batch axis on every leaf.
       model, params: unbatched RobotModel / CtrlParams.
       compact_k: static size of the gathered cold sub-batch (clamped to
-        the batch size). 0 disables compaction — mixed ticks then route
-        the whole batch cold (the pre-r4 two-way routing).
+        the batch size). The 128 default covers the measured desync-
+        stray rate at batch-4096 trot (basin rejects p50 1/tick) with
+        wide headroom; overflow degrades gracefully to whole-batch
+        cold. 0 disables compaction — mixed ticks then route the whole
+        batch cold (the pre-r4 two-way routing).
 
     Returns:
       updated batched CtrlState.
@@ -402,7 +452,8 @@ def compute_grf_mpc_batched(states, model, params,
         lazy = srb.condense_nilpotent_lazy(
             a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
             state.contacts)
-        warm_in, transition = _transition_test(state, lazy, warm_settings)
+        warm_in, transition = _transition_test(state, lazy,
+                                                warm_settings, params)
         return state, lazy, warm_in, transition
 
     states, lazy, warm_in, transition = jax.vmap(prepare)(states)
@@ -496,7 +547,10 @@ def compute_grf_mpc_stagewise(state, model, params,
     grad_drift = (jnp.max(jnp.abs(q_lin.reshape(-1) - state.qp_warm_grad))
                   / (jnp.max(jnp.abs(q_lin)) + 1e-9))
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
-    transition = contact_flip | (grad_drift > WARM_DRIFT_TOL)
+    transition = (contact_flip
+                  | (state.mpc_init_counter < WARM_YOUNG_TICKS)
+                  | _post_flip(state, params)
+                  | (grad_drift > WARM_DRIFT_TOL))
 
     # flip repair, mirroring the condensed path: restart duals, zero the
     # newly-infeasible swing primal entries
@@ -607,7 +661,7 @@ def control_step_batched(states, model, params, dt,
                          settings=admm.ADMMSettings(),
                          use_terrain_adapt=True,
                          warm_settings=WARM_SETTINGS, robust=False,
-                         compact_k=256):
+                         compact_k=128):
     """Batched :func:`control_step` (MPC branch) with batch-level
     transition routing + cold-solve compaction — see
     :func:`compute_grf_mpc_batched`. The plan/swing/torque stages vmap

@@ -143,7 +143,7 @@ def rollout_batched(carry, model, params, num_steps, dt,
                     estimate=True, use_terrain_adapt=True,
                     ground_coef=None,
                     warm_settings=controller.WARM_SETTINGS,
-                    robust=False, compact_k=256):
+                    robust=False, compact_k=128):
     """Batched closed-loop rollout with batch-level transition routing.
 
     The production batched-sweep program: where ``vmap(rollout)`` turns

@@ -142,7 +142,15 @@ def test_production_warm_path_tracks_cold_in_closed_loop():
     # of cost by iterating to tolerance) — bounded here and with no
     # closed-loop effect (height holds to mm, test_walking.py).
     assert np.isfinite(diffs).all()
-    assert np.median(diffs) < 0.5, np.median(diffs)
+    # median bar history: 0.5 N under the r3 drift tolerance (0.01),
+    # which cold-solved ~95% of trot ticks — the median then mostly
+    # measured the cold solver against itself. The r4 recalibration
+    # (WARM_DRIFT_TOL = 0.2, see ctrl/controller.py) lets the steady
+    # gait genuinely run the 20-iteration warm tick (drift p50 ~5e-2),
+    # whose teacher-forced tracking is ~0.5 N median / ~1.5 N p95 on
+    # TPU (NOTES_ROUND4) — the median bar moves to 1.0 N to gate THAT
+    # program; the transient tail bars are unchanged.
+    assert np.median(diffs) < 1.0, np.median(diffs)
     assert np.percentile(diffs, 95) < 10.0, np.percentile(diffs, 95)
     assert diffs.max() < 40.0, diffs.max()
 
