@@ -345,8 +345,20 @@ def _transition_test(state, lazy, warm_settings, params):
                              rho=jnp.clip(state.qp_warm_rho,
                                           WARM_RHO_MIN, WARM_RHO_MAX),
                              minv=state.qp_warm_minv)
+    # Drift denominator floored at the QP's working force scale
+    # (max diag(H) bounds max|H| for PSD H; 180 N is the fz bound,
+    # ConvexMpc.cpp:223): at stand the raw gradient nearly cancels
+    # (x0 ~ x_ref), so mm-level state jitter (bf16 plant/FK noise, real
+    # sensor noise in deployment) reads as >20% relative drift and
+    # routed ~54% of a standing batch cold every tick on TPU (measured
+    # r4) — a pure small-denominator artifact. The floor translates the
+    # threshold into "the implied force-scale gradient shift exceeds
+    # WARM_DRIFT_TOL x ~9 N", which is what the warm budget actually
+    # cares about.
+    den = jnp.maximum(jnp.max(jnp.abs(lazy.gradient)),
+                      0.05 * jnp.max(srb.lazy_hessian_diag(lazy)) * 180.0)
     grad_drift = (jnp.max(jnp.abs(lazy.gradient - state.qp_warm_grad))
-                  / (jnp.max(jnp.abs(lazy.gradient)) + 1e-9))
+                  / (den + 1e-9))
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
     transition = (contact_flip
                   | (state.mpc_init_counter < WARM_YOUNG_TICKS)
@@ -544,8 +556,15 @@ def compute_grf_mpc_stagewise(state, model, params,
 
     q_lin = stagewise.linear_term(a_d, b_d, x0, x_ref, params.q_weights,
                                   params.r_weights)
+    # same force-scale denominator floor as the condensed path (the
+    # stagewise per-stage Hessian block is 2 (R + B' Q B))
+    h_diag_sw = 2.0 * (params.r_weights
+                       + jnp.sum(params.q_weights[:, None] * b_d ** 2,
+                                 axis=0))
+    den_sw = jnp.maximum(jnp.max(jnp.abs(q_lin)),
+                         0.05 * jnp.max(h_diag_sw) * 180.0)
     grad_drift = (jnp.max(jnp.abs(q_lin.reshape(-1) - state.qp_warm_grad))
-                  / (jnp.max(jnp.abs(q_lin)) + 1e-9))
+                  / (den_sw + 1e-9))
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
     transition = (contact_flip
                   | (state.mpc_init_counter < WARM_YOUNG_TICKS)
