@@ -63,6 +63,7 @@ WARM_SETTINGS = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
 ROBUST_WARM_SETTINGS = admm.ADMMSettings(seg_iters=40, segments=1,
                                          polish=False,
                                          schulz_l0_refine=1e-4,
+                                         schulz_impl="pallas",
                                          adapt_warm_rho=True,
                                          # == WARM_RHO_MIN/MAX below
                                          rho_min=0.02, rho_max=50.0)

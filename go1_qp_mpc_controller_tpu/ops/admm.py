@@ -941,8 +941,21 @@ def solve_warm_fused(lazy, warm, settings, mu):
     # schedule stays the steady-cadence fast path.
     if settings.schulz_l0_refine > 0:
         coeffs = _scaled_schulz_coeffs(settings.schulz_l0_refine)
-        minv = _schulz_iterate_balanced(m_b, s, 0, warm.minv,
-                                        coeffs=coeffs)
+        if settings.schulz_impl == "pallas":
+            # VMEM-resident schedule on the ALREADY-balanced KKT: the
+            # kernel's internal Jacobi balance is the identity on a
+            # unit-diagonal matrix, so feeding m_b and the pre-balanced
+            # warm start runs the identical schedule with M crossing HBM
+            # once (the XLA loop pays ~2.5 ms/step at batch 4096 — the
+            # robust program's dominant cost before this route)
+            unb = s[:, None] * s[None, :]
+            _, warm_fn = _pallas_schulz_fns(
+                coeffs, 0, hi_tail=settings.schulz_hi_tail,
+                tile=settings.schulz_tile)
+            minv = warm_fn(m_b, warm.minv / unb) * unb
+        else:
+            minv = _schulz_iterate_balanced(m_b, s, 0, warm.minv,
+                                            coeffs=coeffs)
     else:
         minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
                                         warm.minv)
