@@ -788,9 +788,10 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
                  rho_vec, matvec, rmatvec, warm, settings):
     """Shared warm-tick tail: fixed ADMM iterations + NaN latch + packaging.
 
-    ``hessian`` may be a thunk (LazyCondensedQP path) — it is only consumed
-    by the dual-residual diagnostic, which XLA dead-code-eliminates when
-    callers ignore it.
+    ``hessian`` may be a MATVEC callable v -> H v (LazyCondensedQP path)
+    — it is only consumed by the dual-residual diagnostic (XLA dead-code-
+    eliminates it when callers ignore the residuals) and the
+    adapt_warm_rho adaptation, neither of which then materializes H.
     """
     alpha = settings.alpha
     sigma = settings.sigma
@@ -816,11 +817,13 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
     y = jnp.where(finite, y, jnp.zeros_like(y))
     z = jnp.where(finite, z, jnp.zeros_like(z))
 
-    h_mat = hessian() if callable(hessian) else hessian
     y_out = y / cost
     cx = matvec(x)
     cty = rmatvec(y_out)
-    px = h_mat @ x
+    # `hessian` may be a matvec callable (the LazyCondensedQP path: the
+    # dual-residual diagnostic and the adapt_warm_rho program then never
+    # materialize the (n, n) Hessian) or a dense matrix
+    px = hessian(x) if callable(hessian) else hessian @ x
     primal = jnp.max(jnp.abs(cx - z))
     dual = jnp.max(jnp.abs(px + gradient + cty))
     sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
@@ -919,7 +922,7 @@ def solve_warm_fused(lazy, warm, settings, mu):
     from go1_qp_mpc_controller_tpu.models import srb as srb_mod
 
     dtype = lazy.gradient.dtype
-    hess = lambda: srb_mod.lazy_hessian(lazy)   # re-fused per consumer
+    hess = lambda v: srb_mod.lazy_hessian_matvec(lazy, v)
     eq = jnp.isclose(lazy.lb, lazy.ub)
     big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
     lb_f = jnp.maximum(lazy.lb, -big)

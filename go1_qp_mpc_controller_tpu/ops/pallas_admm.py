@@ -150,9 +150,14 @@ def mpc_solve_warm_batch(qps, warms, mus, settings, interpret=False,
     Measured reality (TPU v5e, batch 4096, honest distinct-input timing):
     this path does NOT beat the XLA loop — the all-pairs stacked matmul
     wastes tile-x MXU compute, and a VPU sublane/lane-reduce matvec lands
-    at the same wall time as the HBM-bound XLA fori_loop. Kept as a
-    reference implementation of the VMEM-resident pattern and exercised
-    by tests; the production path is admm.mpc_solve_warm.
+    at the same wall time as the HBM-bound XLA fori_loop. Re-measured in
+    r4 isolated at 30 iterations: XLA loop 0.76 ms/iter vs this kernel
+    1.48 (tile 8) / 1.56 (tile 32) ms/iter, VMEM OOM at tile 64 — the
+    kernel is ~2x SLOWER at every feasible tile; per-iteration cost does
+    not scale down with tile, so the bottleneck is the serial in-kernel
+    dependency chain, not the stacked-matmul width. Kept as a reference
+    implementation of the VMEM-resident pattern and exercised by tests;
+    the production path is admm.mpc_solve_warm.
 
     Args:
       qps: batched srb.CondensedQP ((B, ...) leaves).

@@ -179,6 +179,12 @@ def test_fused_lazy_warm_tick_matches_regular():
     np.testing.assert_allclose(np.asarray(srb.lazy_hessian_diag(lz0)),
                                np.asarray(np.diag(np.asarray(qp0.hessian))),
                                rtol=0, atol=1e-12)
+    # unmaterialized matvec (the warm tail's dual-residual path and the
+    # transition-test diagnostics) matches H @ v
+    v = jnp.asarray(np.random.default_rng(7).normal(size=120), DTYPE)
+    np.testing.assert_allclose(np.asarray(srb.lazy_hessian_matvec(lz0, v)),
+                               np.asarray(qp0.hessian @ v),
+                               rtol=0, atol=1e-10)
 
     drift = jnp.zeros(13, DTYPE).at[9].set(0.002).at[5].set(-0.0005)
     warm_a = warm_b = warm
