@@ -43,8 +43,18 @@ QP = 0
 # tail p95 < 10 N) fails at 15 (p95 = 11.0) and holds at 20, so the
 # production carry runs 20; the solver-only bench uses 15 with its
 # accuracy fields recorded in the JSON.
+# schulz_refine=1 (r4): one Schulz step per tick tracks the per-tick KKT
+# drift — the swing-foot target substitution in compute_grf_mpc keeps the
+# KKT ~constant between transitions, so the carried inverse's residual
+# fixed point sits at the (tiny) per-tick drift and extra steps measured
+# no accuracy change (the solver bench has run refine=1 since r3 with
+# its warm_vs_tight fields recorded); refine=2 was a conservative r2
+# default. Measured in the full controller chain (TPU, batch 4096):
+# 40.1 -> 30.0 ms/tick (102k -> 136k ticks/s); accuracy gates
+# (tests/test_warm_ticks.py, test_batched_transition.py,
+# test_warm_accuracy.py) unchanged.
 WARM_SETTINGS = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
-                                  schulz_refine=2)
+                                  schulz_refine=1)
 
 # Robust warm-tick schedule for BATCHED walking sweeps: the scaled-
 # Schulz refinement (schulz_l0_refine) rebuilds basin-rejected carries
@@ -108,31 +118,79 @@ WARM_DRIFT_TOL = 0.2
 # warmed chains, long rollouts) never see this branch.
 WARM_YOUNG_TICKS = 40
 
-# Post-flip cold window (ticks, in gait-counter units / counter speed):
-# a contact flip restarts the carried duals (trot flips all four legs'
+# Post-flip window (ticks, in gait-counter units / counter speed): a
+# contact flip restarts the carried duals (trot flips all four legs'
 # constraint patterns at once), and the restarted duals need a few
 # hundred ADMM iterations to re-converge on the semi-degenerate 4-leg
 # load-distribution directions ("even 320 iterations leave ~5 N",
 # tests/test_warm_ticks.py notes) — a 20-iteration warm tick lags cold
 # by 20-30 N for ~10 ticks after each flip (measured r4, teacher-
-# forced). Ticks within this window of a phase boundary route cold —
-# the window is derived from the gait counters (no new carry state),
-# applies only while walking, and is synchronized across a batch that
-# shares gait phase, so the batched program pays it as whole-batch cold
-# on ~2W of every 120 ticks. This is the fixed-budget analog of OSQP
-# spending more iterations right after contact flips.
+# forced). Ticks within this window of a phase boundary route to the
+# WINDOW program (below) — the window is derived from the gait
+# counters (no new carry state), applies only while walking, and is
+# synchronized across a batch that shares gait phase. This is the
+# fixed-budget analog of OSQP spending more iterations right after
+# contact flips.
 WARM_POSTFLIP_TICKS = 10.0
 
+# Post-flip WINDOW program: a long warm segment instead of the full
+# cold solve. The flip tick itself and the first WARM_POSTFLIP_COLD_
+# TICKS after it route cold (the KKT equality pattern changed -> the
+# carried inverse must be rebuilt, and the restarted duals are farthest
+# from the new fixed point), but the remaining window ticks hold a
+# CONSTANT contact pattern with a freshly rebuilt inverse and a
+# just-adapted rho — what they need is ADMM iterations for the
+# restarted duals, not the cold path's two Schulz schedules +
+# two-segment rho re-estimation. Budget calibration (teacher-forced vs
+# a tight polished reference, TPU, batch 256, per-tick p95 on the first
+# window ticks): 25 iters 15.4 N, 30 -> 14.5, 40 -> 13.4, 60 -> 11.1
+# decaying to ~3 N by mid-window, 80 -> 9.3 — but 80 iterations cost as
+# much wall time as the cold solve (the iteration loop, not the Schulz
+# rebuild, is the wall). The closed-loop gate
+# (tests/test_warm_ticks.py::test_production_warm_path_tracks_cold_in_
+# closed_loop, p95 < 10 N over a 400-tick walking rollout) sits right
+# at the knee: 60 iters measured p95 10.02-10.03 (fails by 0.3%) even
+# with the first 3 post-flip ticks routed cold — the rollout's error
+# distribution has a broad ~10 N band (mid-window, post-window decay,
+# and mid-cycle warm ticks all contribute), so only the 80-iteration
+# window clears the bar. 80 still saves ~18 ms/window-tick over the
+# cold solve's ~64 ms GRF stage.
+WARM_POSTFLIP_COLD_TICKS = 3.0
+WINDOW_WARM_SETTINGS = admm.ADMMSettings(seg_iters=80, segments=1,
+                                         polish=False, schulz_refine=1)
 
-def _post_flip(state, params):
-    """() bool — within WARM_POSTFLIP_TICKS control ticks after any
-    leg's stance/swing hand-off (phase 0 or counter_per_swing)."""
+
+def _post_flip(state, params, ticks=WARM_POSTFLIP_TICKS):
+    """() bool — within ``ticks`` control ticks after any leg's
+    stance/swing hand-off (phase 0 or counter_per_swing)."""
     phase = jnp.mod(state.gait_counter, params.counter_per_gait)
     since = jnp.where(phase >= params.counter_per_swing,
                       phase - params.counter_per_swing, phase)  # counts
     speed = jnp.maximum(jnp.max(params.gait_counter_speed), 1e-6)
     return ((state.movement_mode != 0)
-            & (jnp.min(since) < WARM_POSTFLIP_TICKS * speed))
+            & (jnp.min(since) < ticks * speed))
+
+
+# Pre-flip cold guard (ticks before the next hand-off): the landing
+# swing foot and the shifting reference move the gradient fast in the
+# 1-2 ticks BEFORE a phase boundary — under the drift threshold, but
+# fast enough that the 20-iteration warm tick lags the cold teacher by
+# 15-31 N exactly there (measured: the per-cycle error spikes at ticks
+# 109/229/289/349 of the closed-loop gate rollout sit one tick before
+# each flip). Route those ticks cold, like the post-flip sub-window.
+WARM_PREFLIP_TICKS = 2.0
+
+
+def _pre_flip(state, params, ticks=WARM_PREFLIP_TICKS):
+    """() bool — within ``ticks`` control ticks BEFORE any leg's next
+    stance/swing hand-off."""
+    phase = jnp.mod(state.gait_counter, params.counter_per_gait)
+    until = jnp.where(phase >= params.counter_per_swing,
+                      params.counter_per_gait - phase,
+                      params.counter_per_swing - phase)   # counts to next
+    speed = jnp.maximum(jnp.max(params.gait_counter_speed), 1e-6)
+    return ((state.movement_mode != 0)
+            & (jnp.min(until) <= ticks * speed))
 
 
 class SensorData(NamedTuple):
@@ -204,7 +262,7 @@ def sensor_update(state, model, sensors, dt, estimate=True,
 def compute_grf_mpc(state, model, params,
                     settings=admm.ADMMSettings(), use_terrain_adapt=True,
                     warm_settings=WARM_SETTINGS, receding_horizon=False,
-                    warm_mode="auto"):
+                    warm_mode="auto", window_settings=None):
     """Horizon-10 condensed MPC solve (A1RobotControl.cpp:446-561).
 
     Runs the persistent warm-started solver pattern the reference uses (one
@@ -309,9 +367,10 @@ def compute_grf_mpc(state, model, params,
         return _finish_grf(state, sol.x, warm_out,
                            grad_carry=lazy.gradient)
 
-    warm_in, transition = _transition_test(state, lazy, warm_settings,
-                                            params)
-    cold_branch, warm_branch = _grf_branches(settings, warm_settings)
+    warm_in, transition, window = _transition_test(state, lazy,
+                                                   warm_settings, params)
+    cold_branch, warm_branch, window_branch = _grf_branches(
+        settings, warm_settings, window_settings)
 
     if warm_mode == "warm":
         x_sol, warm_out = warm_branch(lazy, warm_in)
@@ -320,8 +379,14 @@ def compute_grf_mpc(state, model, params,
         # program compute_grf_mpc_batched routes mixed ticks to)
         x_sol, warm_out = cold_branch(lazy, warm_in)
     else:
-        x_sol, warm_out = jax.lax.cond(transition, cold_branch,
-                                       warm_branch, lazy, warm_in)
+        # 0 = steady warm tick, 1 = post-flip window (long warm segment),
+        # 2 = cold (transition). In the unbatched production loop the
+        # switch executes only the taken branch.
+        branch = jnp.where(transition, 2,
+                           jnp.where(window, 1, 0)).astype(jnp.int32)
+        x_sol, warm_out = jax.lax.switch(
+            branch, [warm_branch, window_branch, cold_branch],
+            lazy, warm_in)
     return _finish_grf(state, x_sol, warm_out, grad_carry=lazy.gradient)
 
 
@@ -336,11 +401,12 @@ def _transition_test(state, lazy, warm_settings, params):
     short-schedule fallback cannot converge a cold init and would emit
     several garbage-GRF ticks.
 
-    Returns (warm_in, transition): the repaired WarmState (flip ticks
-    restart the duals and zero newly-infeasible primal entries — the
-    carried duals belong to the OLD equality pattern and poison even a
-    full cold solve, measured 31 N off a fresh-start reference at trot
-    flips) and the () bool route flag.
+    Returns (warm_in, transition, window): the repaired WarmState (flip
+    ticks restart the duals and zero newly-infeasible primal entries —
+    the carried duals belong to the OLD equality pattern and poison even
+    a full cold solve, measured 31 N off a fresh-start reference at trot
+    flips), the () bool cold-route flag, and the () bool post-flip
+    WINDOW flag (long-warm route; cold wins when both are set).
     """
     warm_in = admm.WarmState(x=state.qp_warm_x, y=state.qp_warm_y,
                              rho=jnp.clip(state.qp_warm_rho,
@@ -363,23 +429,29 @@ def _transition_test(state, lazy, warm_settings, params):
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
     transition = (contact_flip
                   | (state.mpc_init_counter < WARM_YOUNG_TICKS)
-                  | _post_flip(state, params)
                   | (grad_drift > WARM_DRIFT_TOL)
+                  | _post_flip(state, params, WARM_POSTFLIP_COLD_TICKS)
+                  | _pre_flip(state, params)
                   | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
+    window = _post_flip(state, params)
     swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
     x_flip = warm_in.x * (1.0 - jnp.tile(swing_u, P.PLAN_HORIZON))
     warm_in = warm_in._replace(
         x=jnp.where(contact_flip, x_flip, warm_in.x),
         y=jnp.where(contact_flip, jnp.zeros_like(warm_in.y),
                     warm_in.y))
-    return warm_in, transition
+    return warm_in, transition, window
 
 
-def _grf_branches(settings, warm_settings):
-    """(cold_branch, warm_branch) pair: LazyCondensedQP x WarmState ->
-    (x_sol, WarmState). Transition solves adapt rho only inside the
-    warm-viable band so the carried (rho, minv) pair stays
-    self-consistent."""
+def _grf_branches(settings, warm_settings, window_settings=None):
+    """(cold_branch, warm_branch, window_branch) triple:
+    LazyCondensedQP x WarmState -> (x_sol, WarmState). Transition solves
+    adapt rho only inside the warm-viable band so the carried
+    (rho, minv) pair stays self-consistent. The window branch is the
+    warm program with the post-flip long segment (``window_settings``,
+    default WINDOW_WARM_SETTINGS resolved at call time)."""
+    if window_settings is None:
+        window_settings = WINDOW_WARM_SETTINGS
     settings_t = settings._replace(
         rho_min=max(settings.rho_min, WARM_RHO_MIN),
         rho_max=min(settings.rho_max, WARM_RHO_MAX))
@@ -396,14 +468,19 @@ def _grf_branches(settings, warm_settings):
         sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
         return sol.x, w
 
-    return cold_branch, warm_branch
+    def window_branch(lz, warm):
+        sol, w = admm.mpc_solve_warm_fused(lz, warm, window_settings)
+        return sol.x, w
+
+    return cold_branch, warm_branch, window_branch
 
 
 def compute_grf_mpc_batched(states, model, params,
                             settings=admm.ADMMSettings(),
                             use_terrain_adapt=True,
                             warm_settings=WARM_SETTINGS,
-                            robust=False, compact_k=128):
+                            robust=False, compact_k=128,
+                            window_settings=None):
     """Batched MPC GRF solve with BATCH-LEVEL transition routing and
     per-scenario cold-solve COMPACTION.
 
@@ -465,11 +542,12 @@ def compute_grf_mpc_batched(states, model, params,
         lazy = srb.condense_nilpotent_lazy(
             a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
             state.contacts)
-        warm_in, transition = _transition_test(state, lazy,
-                                                warm_settings, params)
-        return state, lazy, warm_in, transition
+        warm_in, transition, window = _transition_test(state, lazy,
+                                                       warm_settings,
+                                                       params)
+        return state, lazy, warm_in, transition, window
 
-    states, lazy, warm_in, transition = jax.vmap(prepare)(states)
+    states, lazy, warm_in, transition, window = jax.vmap(prepare)(states)
     if robust:
         # uniform robust warm program (see ROBUST_WARM_SETTINGS): the
         # scaled-schedule refinement handles basin-rejected carries per
@@ -480,25 +558,41 @@ def compute_grf_mpc_batched(states, model, params,
             schulz_l0_refine=(warm_settings.schulz_l0_refine
                               if warm_settings.schulz_l0_refine > 0
                               else 1e-4))
-        _, warm_branch = _grf_branches(settings, robust_settings)
+        _, warm_branch, _ = _grf_branches(settings, robust_settings,
+                                          window_settings)
         x_sol, warm_out = jax.vmap(warm_branch)(lazy, warm_in)
     else:
-        cold_branch, warm_branch = _grf_branches(settings, warm_settings)
+        cold_branch, warm_branch, window_branch = _grf_branches(
+            settings, warm_settings, window_settings)
         batch = transition.shape[0]
         k = min(compact_k, batch)
         all_warm = jax.vmap(warm_branch)
+        all_window = jax.vmap(window_branch)
         all_cold = jax.vmap(cold_branch)
+
+        def all_base(lz, warm):
+            # Post-flip window promotion is BATCH-LEVEL: the window flag
+            # derives from the gait counters, which advance identically
+            # across a batch sharing gait phase (early contacts desync
+            # `contacts`, not the counter), so any() == every scenario's
+            # own flag and per-scenario equality with compute_grf_mpc
+            # holds (tests/test_batched_transition.py). A deliberately
+            # phase-desynchronized batch pays the longer window segment
+            # on all scenarios of a window tick — never less accurate.
+            return jax.lax.cond(jnp.any(window), all_window, all_warm,
+                                lz, warm)
+
         if k == 0:
             x_sol, warm_out = jax.lax.cond(
-                jnp.any(transition), all_cold, all_warm, lazy, warm_in)
+                jnp.any(transition), all_cold, all_base, lazy, warm_in)
         else:
             def compact(lz, warm):
-                # warm everyone (fixed shape), then gather the flagged
+                # base everyone (fixed shape), then gather the flagged
                 # scenarios into a static-k cold sub-batch and scatter
-                # its results (solution AND carry) over the warm ones.
+                # its results (solution AND carry) over the base ones.
                 # top_k over the 0/1 flags lists flagged indices first
                 # (ascending within ties); `valid` masks the fill.
-                x_w, w_w = all_warm(lz, warm)
+                x_w, w_w = all_base(lz, warm)
                 _, idx = jax.lax.top_k(transition.astype(jnp.int32), k)
                 sub_lz = jax.tree.map(lambda a: a[idx], lz)
                 sub_w = jax.tree.map(lambda a: a[idx], warm)
@@ -515,7 +609,7 @@ def compute_grf_mpc_batched(states, model, params,
             branch = ((n_flag > 0).astype(jnp.int32)
                       + (n_flag > k).astype(jnp.int32))
             x_sol, warm_out = jax.lax.switch(
-                branch, [all_warm, compact, all_cold], lazy, warm_in)
+                branch, [all_base, compact, all_cold], lazy, warm_in)
     return jax.vmap(_finish_grf)(states, x_sol, warm_out, lazy.gradient)
 
 

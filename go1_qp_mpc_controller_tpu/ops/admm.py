@@ -135,6 +135,12 @@ class ADMMSettings(NamedTuple):
     # the whole schedule runs on-chip. Batched calls reach the kernel
     # through a custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
+    # NOTE (r4 negative result): dropping the per-iteration KKT matvec
+    # (minv @ rhs) from HIGHEST (6-pass bf16) to HIGH (3-pass) measured
+    # EXACTLY neutral in the full warm chain (25.460 vs 25.474 ms/tick,
+    # batch 4096) — the batched matvec is HBM-bound on the 58 KB
+    # inverse stream, not MXU-pass-bound, so the precision knob buys
+    # nothing and was removed.
     # NOTE (r4 negative result): storing the per-segment KKT inverse in
     # bfloat16 for the iteration matvecs halves the loop's dominant HBM
     # stream and saved a real ~8 ms/cold-solve — but the bf16-perturbed

@@ -381,6 +381,104 @@ def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,
     return out[:b, :n, :n]
 
 
+def _lane_matmul(a, b, n):
+    """Lane-batched matmul: a, b (n, n, L) -> sum_k a[:, k, :] b[k, :, :].
+
+    The batch lives in the LANE dimension, so every FMA uses all 128
+    lanes regardless of n — the whole product is VPU work. The k-loop
+    unrolls to n sublane-slice + broadcast + FMA macro-ops; a
+    jnp.einsum('ikl,kjl->ijl') formulation does not lower in Mosaic,
+    and a symmetric-slice variant (a[k] for a[:, k]) measured identical.
+    """
+    acc = a[:, 0:1, :] * b[0][None, :, :]
+    for k in range(1, n):
+        acc = acc + a[:, k:k + 1, :] * b[k][None, :, :]
+    return acc
+
+
+def _schulz_lanes_kernel(m_ref, out_ref, *, coeffs, n):
+    """Scaled Newton-Schulz inverse, batch-in-lanes layout (n, n, L).
+
+    For SMALL matrices (the EKF's 28-dim innovation) the MXU path wastes
+    a full (padded) systolic pass per batch element: a batched 28x28
+    matmul at batch 4096 measures ~0.35 ms (~7x its HBM floor), so the
+    12-step schedule costs ~6 ms of the 9.4 ms EKF stage. This kernel
+    keeps the batch in the lane dimension and runs the entire schedule
+    (including the Jacobi balance and unbalance) as full-width VPU
+    arithmetic: measured 2.76 ms vs 6.06 ms for the XLA loop at batch
+    4096 (TPU v5e, scan-timed). All steps run at native f32 FMA
+    precision — strictly tighter than the MXU path's bf16x3 middles, so
+    the scaled-schedule hazard margins (admm._scaled_schulz_coeffs) hold
+    a fortiori.
+    """
+    m = m_ref[...]                                  # (n, n, L) raw SPD
+    dt = m.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye = (rows == cols).astype(dt)                 # (n, n, 1)
+    diag = jnp.sum(m * eye, axis=1)                 # (n, L)
+    s = jax.lax.rsqrt(diag)
+    scale = s[:, None, :] * s[None, :, :]           # (n, n, L)
+    mb = m * scale
+    norminf = jnp.max(jnp.sum(jnp.abs(mb), axis=1), axis=0)   # (L,)
+    c = 1.0 / (1.05 * norminf)
+    a0 = coeffs[0]
+    # first step folded analytically from the scalar-diagonal cold init
+    ac = (a0 * c)[None, None, :]
+    x = ac * (2.0 * eye - ac * mb)
+    for k in range(1, len(coeffs)):
+        a = coeffs[k]
+        inner = _lane_matmul(mb, x, n)
+        if a == 1.0:
+            x = _lane_matmul(x, 2.0 * eye - inner, n)
+        else:
+            x = _lane_matmul(x, (2.0 * a) * eye - (a * a) * inner, n)
+    out_ref[...] = x * scale                        # unbalanced inverse
+
+
+def schulz_inverse_lanes(m_mat, coeffs, lane_tile=128, interpret=None):
+    """Batched Newton-Schulz inverse for SMALL SPD matrices, VPU-only.
+
+    Lane-batched counterpart of :func:`schulz_inverse_batch` for n << 128
+    (EKF innovation matrices): instead of padding n -> 128 for the MXU
+    (a ~(128/28)^2 = 21x compute waste), the batch rides the lane axis
+    and all matmuls become k-loop FMAs at full lane occupancy.
+
+    Args:
+      m_mat: (B, n, n) UNBALANCED SPD matrices (balance runs in-kernel).
+      coeffs: scaled-step schedule (admm._scaled_schulz_coeffs).
+      lane_tile: scenarios per program (128 measured best; 512 overflows
+        the 16 MB scoped VMEM on the unrolled 12-step live set).
+      interpret: Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+      (B, n, n) approximate inverses (cold schedule, no warm start).
+    """
+    b, n = m_mat.shape[0], m_mat.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pad = (-b) % lane_tile
+    mt = jnp.transpose(m_mat, (1, 2, 0))            # (n, n, B)
+    if pad:
+        # identity-pad the batch: norminf 1, rsqrt(1) — numerically inert
+        eye_pad = jnp.broadcast_to(
+            jnp.eye(n, dtype=m_mat.dtype)[:, :, None], (n, n, pad))
+        mt = jnp.concatenate([mt, eye_pad], axis=-1)
+    kernel = functools.partial(_schulz_lanes_kernel, coeffs=tuple(coeffs),
+                               n=n)
+    bs = pl.BlockSpec((n, n, lane_tile), lambda i: (0, 0, i),
+                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n, b + pad), m_mat.dtype),
+        grid=((b + pad) // lane_tile,),
+        in_specs=[bs],
+        out_specs=bs,
+        interpret=interpret,
+    )(mt)
+    return jnp.transpose(out[:, :, :b], (2, 0, 1))
+
+
 def _schulz_kernel(mb_ref, *refs, iters, have_warm):
     """VMEM-resident Newton-Schulz loop (one matrix, fully on-chip).
 

@@ -189,3 +189,47 @@ def test_schulz_custom_vmap_partial_batching():
     np.testing.assert_allclose(
         np.asarray(out2[0]), np.asarray(minv_b[0]), atol=1e-4)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_schulz_lanes_matches_xla():
+    """Lane-batched VPU Schulz kernel (EKF innovation route) vs the XLA
+    schedule, interpreter mode. Covers batch padding (b not a multiple
+    of the lane tile) and the in-kernel balance/unbalance."""
+    rng = np.random.default_rng(7)
+    b, n = 9, 28
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    spd = a @ np.swapaxes(a, -1, -2) / n + 0.2 * np.eye(n, dtype=np.float32)
+    # spread the diagonals so the Jacobi balance does real work
+    d = np.exp(rng.uniform(-2, 2, size=(b, n))).astype(np.float32)
+    spd = spd * d[:, :, None] * d[:, None, :]
+    s_spd = jnp.asarray(spd)
+    coeffs = admm._scaled_schulz_coeffs(1e-5)
+
+    out_lanes = pallas_admm.schulz_inverse_lanes(s_spd, coeffs,
+                                                 lane_tile=4,
+                                                 interpret=True)
+    out_xla = jax.vmap(
+        lambda s: admm._schulz_inverse(s, 0, coeffs=coeffs))(s_spd)
+
+    resid = np.einsum('bij,bjk->bik', spd, np.asarray(out_lanes)) \
+        - np.eye(n, dtype=np.float32)
+    assert np.max(np.abs(resid)) < 1e-3
+    scale = np.max(np.abs(np.asarray(out_xla)))
+    np.testing.assert_allclose(np.asarray(out_lanes), np.asarray(out_xla),
+                               atol=5e-4 * scale)
+
+
+def test_ekf_schulz_route_under_vmap():
+    """ekf._schulz_sinv under vmap (the CPU fallback rule) equals the
+    per-scenario XLA loop."""
+    from go1_qp_mpc_controller_tpu.ops import ekf
+
+    rng = np.random.default_rng(8)
+    b, n = 5, 28
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    spd = jnp.asarray(a @ np.swapaxes(a, -1, -2) / n
+                      + 0.3 * np.eye(n, dtype=np.float32))
+    batched = jax.vmap(ekf._schulz_sinv)(spd)
+    single = jnp.stack([ekf._schulz_sinv(spd[i]) for i in range(b)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
+                               rtol=0, atol=1e-5)
