@@ -438,40 +438,46 @@ def main():
     ctrl_elapsed = (time.perf_counter() - t0) / reps
     ctrl_rate = ctrl_batch * ctrl_ticks / ctrl_elapsed
 
-    # --- closed-loop trot rollout (production batched program: the cold
-    # branch executes only on contact-flip ticks via the batch-level
-    # lax.cond; flips genuinely occur at trot cadence) --------------------
+    # --- closed-loop trot rollout (production batched program: routed
+    # warm / post-flip window / compact / cold branches) ------------------
     # walk from the INITIAL batch (not the stand-warmed carry: switching
     # modes mid-zero-torque-warmup topples a ~5% tail of scenarios, and
     # one fallen robot forces the batch-level cold branch every tick),
     # then run through the onset transient into the steady trot limit
-    # cycle: 130 ticks covers the onset plus a full gait cycle, so the
-    # timed window sees the production steady state — flip ticks every
-    # ~60 ticks taking the batch-level cold branch, warm ticks otherwise
+    # cycle: 130 ticks covers the onset plus a full gait cycle. The timed
+    # span is ONE FULL half-gait cycle (60 ticks at the default trot
+    # counters) so every routing regime appears at its production
+    # frequency — flip tick, pre/post-flip cold sub-windows, the long
+    # post-flip window segment, compact ticks, steady warm ticks. (The
+    # r1-r4 40-tick span warmed to exactly 130 happened to sit BETWEEN
+    # flips — flips land at walking ticks ~110/170 — so it sampled
+    # almost no flip/window ticks and overstated the steady rate by
+    # ~15%; a representative span is the honest production number.)
+    roll_ticks = 60
     cw = set_walk(c0)
     _, cw = chain_batched(cw, 130)
     jax.block_until_ready(cw.ctrl.qp_warm_minv)
     cw_reps = [perturb_c(cw, jnp.asarray(float(k + 1), dtype))
                for k in range(reps)]
-    out, _ = chain_batched(cw, ctrl_ticks)
+    out, _ = chain_batched(cw, roll_ticks)
     jax.block_until_ready((out, cw_reps))
     t0 = time.perf_counter()
-    outs = [chain_batched(c, ctrl_ticks)[0] for c in cw_reps]
+    outs = [chain_batched(c, roll_ticks)[0] for c in cw_reps]
     jax.block_until_ready(outs)
     roll_elapsed = (time.perf_counter() - t0) / reps
-    roll_rate = ctrl_batch * ctrl_ticks / roll_elapsed
+    roll_rate = ctrl_batch * roll_ticks / roll_elapsed
 
     # --- robust rollout variant: the uniform no-cold-branch program
     # (controller.ROBUST_WARM_SETTINGS) for walking sweeps whose
     # per-scenario transitions desynchronize — trades the flip-tick
     # tracking tail (p95 ~15 N vs teacher-forced cold; median sub-N,
     # closed-loop behavior gated in tests) for deterministic tick cost
-    out, _ = chain_robust(cw, ctrl_ticks)
+    out, _ = chain_robust(cw, roll_ticks)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    outs = [chain_robust(c, ctrl_ticks)[0] for c in cw_reps]
+    outs = [chain_robust(c, roll_ticks)[0] for c in cw_reps]
     jax.block_until_ready(outs)
-    roll_robust_rate = (ctrl_batch * ctrl_ticks
+    roll_robust_rate = (ctrl_batch * roll_ticks
                         / ((time.perf_counter() - t0) / reps))
 
     # --- warm-tick accuracy gate (VERDICT r2 item 10): p50/p90 GRF diff
@@ -558,8 +564,10 @@ def main():
         "ctrl_tick_mode": ("full chain: sensors+EKF+plan+swing+warm MPC"
                            "+torques+plant, steady warm cadence"),
         "rollout_steps_per_s": round(roll_rate, 1),
-        "rollout_mode": ("closed-loop trot, batch-level transition "
-                         "routing (cold branch only on flip ticks)"),
+        "rollout_mode": ("closed-loop trot, full half-gait-cycle span: "
+                         "routed warm / post-flip window / compact / "
+                         "cold branches at production frequency"),
+        "rollout_span_ticks": roll_ticks,
         "rollout_steps_per_s_robust": round(roll_robust_rate, 1),
         "rollout_robust_mode": ("uniform robust warm program (no cold "
                                 "branch; per-scenario scaled-Schulz "

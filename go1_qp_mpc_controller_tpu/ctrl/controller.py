@@ -367,39 +367,50 @@ def compute_grf_mpc(state, model, params,
         return _finish_grf(state, sol.x, warm_out,
                            grad_carry=lazy.gradient)
 
-    warm_in, transition, window = _transition_test(state, lazy,
-                                                   warm_settings, params)
+    warm_in, transition, window = _transition_test(state, lazy, params)
     cold_branch, warm_branch, window_branch = _grf_branches(
         settings, warm_settings, window_settings)
 
     if warm_mode == "warm":
-        x_sol, warm_out = warm_branch(lazy, warm_in)
+        x_sol, warm_out, _ = warm_branch(lazy, warm_in)
     elif warm_mode == "cold":
         # every tick takes the transition branch (diagnostics / the exact
         # program compute_grf_mpc_batched routes mixed ticks to)
-        x_sol, warm_out = cold_branch(lazy, warm_in)
+        x_sol, warm_out, _ = cold_branch(lazy, warm_in)
     else:
         # 0 = steady warm tick, 1 = post-flip window (long warm segment),
         # 2 = cold (transition). In the unbatched production loop the
-        # switch executes only the taken branch.
+        # switch executes only the taken branch; a warm/window result
+        # failing the a-posteriori health gate is re-solved cold (rare:
+        # post-latch garbage carries, p50 1-3 per 4096 scenarios).
         branch = jnp.where(transition, 2,
                            jnp.where(window, 1, 0)).astype(jnp.int32)
-        x_sol, warm_out = jax.lax.switch(
+        x_sol, warm_out, bad = jax.lax.switch(
             branch, [warm_branch, window_branch, cold_branch],
             lazy, warm_in)
+        x_sol, warm_out = jax.lax.cond(
+            bad,
+            lambda: cold_branch(lazy, warm_in)[:2],
+            lambda: (x_sol, warm_out))
     return _finish_grf(state, x_sol, warm_out, grad_carry=lazy.gradient)
 
 
-def _transition_test(state, lazy, warm_settings, params):
+def _transition_test(state, lazy, params):
     """Per-scenario cold-route test + warm-carry repair.
 
     A cold solve is forced when (a) the contact pattern flipped (the KKT
     equality pattern changed -> carried inverse invalid, the solve_warm
     caveat in ops/admm.py), (b) the gradient drifted beyond the warm
-    tick's tracking range, or (c) the basin probe says the carry is
-    unrefinable (post-latch garbage, large state jump) — the in-solver
-    short-schedule fallback cannot converge a cold init and would emit
-    several garbage-GRF ticks.
+    tick's tracking range, or (c) the tick sits in the pre-flip /
+    early-post-flip cold sub-windows. Unrefinable carries (post-latch
+    garbage, large state jumps) are caught A POSTERIORI by the
+    residual health check on the warm solve's own output
+    (_WARM_HEALTH_* below) instead of an a-priori basin probe — the
+    probe duplicated the warm solve's first Schulz inner product at
+    HIGHEST precision plus a second fused KKT build (~2.7 ms/tick at
+    batch 4096) on EVERY routed tick to guard a p50 1-3 scenarios/tick
+    failure mode, and a residual check additionally catches
+    finite-garbage solutions the signature test cannot see.
 
     Returns (warm_in, transition, window): the repaired WarmState (flip
     ticks restart the duals and zero newly-infeasible primal entries —
@@ -431,8 +442,7 @@ def _transition_test(state, lazy, warm_settings, params):
                   | (state.mpc_init_counter < WARM_YOUNG_TICKS)
                   | (grad_drift > WARM_DRIFT_TOL)
                   | _post_flip(state, params, WARM_POSTFLIP_COLD_TICKS)
-                  | _pre_flip(state, params)
-                  | ~admm.warm_basin_ok(lazy, warm_in, warm_settings))
+                  | _pre_flip(state, params))
     window = _post_flip(state, params)
     swing_u = jnp.repeat(~state.contacts, 3).astype(warm_in.x.dtype)
     x_flip = warm_in.x * (1.0 - jnp.tile(swing_u, P.PLAN_HORIZON))
@@ -443,13 +453,38 @@ def _transition_test(state, lazy, warm_settings, params):
     return warm_in, transition, window
 
 
+# A-posteriori warm-solve health gate: a warm/window tick whose OWN
+# residuals exceed these bounds gets re-solved cold (per scenario, via
+# the compact overlay in the batched program; via a lax.cond in the
+# unbatched one). Replaces the a-priori basin probe, which duplicated
+# the warm solve's first Schulz inner product + KKT build (~2.7 ms/tick
+# at batch 4096). Calibration (TPU, batch 512, closed-loop trot):
+# healthy non-transition warm ticks across a full gait cycle measure
+# prim <= 0.0089 / dual <= 0.0013 (max), while a basin-rejected carry
+# (corrupted minv -> in-solver cold-init fallback at the short refine
+# schedule) floors at prim ~0.43 / dual ~0.088 and primal-garbage
+# carries read prim ~1e3 — the thresholds sit ~7x above healthy and
+# ~7x below the failure floor. Nonfinite solves carry resid = 1e6
+# (ops/admm.py _warm_finish) and are always flagged.
+_WARM_HEALTH_PRIM = 0.06
+_WARM_HEALTH_DUAL = 0.01
+
+
+def _unhealthy(sol):
+    """() bool — the warm/window solve's output is not trustworthy."""
+    return ((sol.primal_res > _WARM_HEALTH_PRIM)
+            | (sol.dual_res > _WARM_HEALTH_DUAL))
+
+
 def _grf_branches(settings, warm_settings, window_settings=None):
     """(cold_branch, warm_branch, window_branch) triple:
-    LazyCondensedQP x WarmState -> (x_sol, WarmState). Transition solves
-    adapt rho only inside the warm-viable band so the carried
+    LazyCondensedQP x WarmState -> (x_sol, WarmState, bad). Transition
+    solves adapt rho only inside the warm-viable band so the carried
     (rho, minv) pair stays self-consistent. The window branch is the
     warm program with the post-flip long segment (``window_settings``,
-    default WINDOW_WARM_SETTINGS resolved at call time)."""
+    default WINDOW_WARM_SETTINGS resolved at call time). ``bad`` is the
+    a-posteriori health flag (_unhealthy) — always False from the cold
+    branch."""
     if window_settings is None:
         window_settings = WINDOW_WARM_SETTINGS
     settings_t = settings._replace(
@@ -462,15 +497,15 @@ def _grf_branches(settings, warm_settings, window_settings=None):
         sol, w = admm.mpc_solve(qp, settings_t, warm_x=warm.x,
                                 warm_y=warm.y, warm_rho=warm.rho,
                                 return_warm=True)
-        return sol.x, w
+        return sol.x, w, jnp.zeros((), bool)
 
     def warm_branch(lz, warm):
         sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
-        return sol.x, w
+        return sol.x, w, _unhealthy(sol)
 
     def window_branch(lz, warm):
         sol, w = admm.mpc_solve_warm_fused(lz, warm, window_settings)
-        return sol.x, w
+        return sol.x, w, _unhealthy(sol)
 
     return cold_branch, warm_branch, window_branch
 
@@ -491,33 +526,40 @@ def compute_grf_mpc_batched(states, model, params,
     item 3 flags. This entry lifts the routing decision above the batch
     into a three-way ``lax.switch`` on the per-tick transition count:
 
-    - **0 transitions** (the steady cadence): the pure warm-tick program.
-    - **1..compact_k transitions** (the desynchronized-trot regime, where
+    - **0 flags** (the steady cadence): the pure warm/window base
+      program (the post-flip window promotion is batch-level, see the
+      inline note), plus the a-posteriori residual health gate — a
+      flag-free tick whose warm solve is healthy pays NOTHING beyond
+      the base program.
+    - **1..compact_k flags** (the desynchronized-trot regime, where
       SOME scenario flips nearly every tick): every scenario runs the
-      warm tick, and the flagged scenarios are additionally GATHERED into
-      a fixed-size (compact_k, ...) sub-batch, solved cold from their own
-      primal/dual carries, and scattered back over the warm results.
-      Per scenario this computes exactly what the per-scenario
-      ``lax.cond`` routing computes (flagged -> cold, unflagged -> warm),
-      at warm-batch cost plus a compact_k-sized cold solve — the batch
-      finally has the reference's property that OSQP pays iterations only
-      where the warm start is off (A1RobotControl.cpp:522-540), per
-      scenario instead of per tick.
-    - **> compact_k transitions** (synchronized flip ticks, mode
-      switches): the whole batch takes the cold solve, never less
-      accurate than the per-scenario blend (the cold solve warm-starts
-      from each scenario's carry and is a strict superset of the warm
-      tick's work).
+      base tick, and the flagged scenarios — a-priori transition flags
+      plus a-posteriori health rejects — are GATHERED into a fixed-size
+      (compact_k, ...) sub-batch, solved cold from their own
+      primal/dual carries, and scattered back over the base results.
+      Per scenario this computes exactly what the per-scenario routing
+      in :func:`compute_grf_mpc` computes (flagged -> cold, unflagged
+      -> warm/window), at base-batch cost plus a compact_k-sized cold
+      solve — the batch has the reference's property that OSQP pays
+      iterations only where the warm start is off
+      (A1RobotControl.cpp:522-540), per scenario instead of per tick.
+    - **> compact_k flags** (synchronized flip ticks, mode switches):
+      the whole batch takes the cold solve, never less accurate than
+      the per-scenario blend (the cold solve warm-starts from each
+      scenario's carry and is a strict superset of the warm tick's
+      work). When the a-priori count alone exceeds compact_k the base
+      program is skipped entirely.
 
     Args:
       states: CtrlState with a leading batch axis on every leaf.
       model, params: unbatched RobotModel / CtrlParams.
       compact_k: static size of the gathered cold sub-batch (clamped to
         the batch size). The 128 default covers the measured desync-
-        stray rate at batch-4096 trot (basin rejects p50 1/tick) with
+        stray rate at batch-4096 trot (health rejects p50 1/tick) with
         wide headroom; overflow degrades gracefully to whole-batch
         cold. 0 disables compaction — mixed ticks then route the whole
-        batch cold (the pre-r4 two-way routing).
+        batch cold (the pre-r4 two-way routing; health rejects then
+        also force whole-batch cold).
 
     Returns:
       updated batched CtrlState.
@@ -543,7 +585,6 @@ def compute_grf_mpc_batched(states, model, params,
             a_d, b_d, x0, x_ref, params.q_weights, params.r_weights,
             state.contacts)
         warm_in, transition, window = _transition_test(state, lazy,
-                                                       warm_settings,
                                                        params)
         return state, lazy, warm_in, transition, window
 
@@ -560,7 +601,7 @@ def compute_grf_mpc_batched(states, model, params,
                               else 1e-4))
         _, warm_branch, _ = _grf_branches(settings, robust_settings,
                                           window_settings)
-        x_sol, warm_out = jax.vmap(warm_branch)(lazy, warm_in)
+        x_sol, warm_out, _ = jax.vmap(warm_branch)(lazy, warm_in)
     else:
         cold_branch, warm_branch, window_branch = _grf_branches(
             settings, warm_settings, window_settings)
@@ -582,22 +623,32 @@ def compute_grf_mpc_batched(states, model, params,
             return jax.lax.cond(jnp.any(window), all_window, all_warm,
                                 lz, warm)
 
+        def cold2(lz, warm):
+            x, w, _ = all_cold(lz, warm)
+            return x, w
+
         if k == 0:
+            def base_or_cold(lz, warm):
+                x, w, bad = all_base(lz, warm)
+                # health rejects without a compact sub-batch: re-solve
+                # the whole batch cold (rare; k = 0 is the legacy mode)
+                return jax.lax.cond(jnp.any(bad),
+                                    lambda: cold2(lz, warm),
+                                    lambda: (x, w))
             x_sol, warm_out = jax.lax.cond(
-                jnp.any(transition), all_cold, all_base, lazy, warm_in)
+                jnp.any(transition), cold2, base_or_cold, lazy, warm_in)
         else:
-            def compact(lz, warm):
-                # base everyone (fixed shape), then gather the flagged
-                # scenarios into a static-k cold sub-batch and scatter
-                # its results (solution AND carry) over the base ones.
-                # top_k over the 0/1 flags lists flagged indices first
-                # (ascending within ties); `valid` masks the fill.
-                x_w, w_w = all_base(lz, warm)
-                _, idx = jax.lax.top_k(transition.astype(jnp.int32), k)
+            def fix(x_w, w_w, flags, lz, warm):
+                # gather the flagged scenarios into a static-k cold
+                # sub-batch and scatter its results (solution AND carry)
+                # over the base ones. top_k over the 0/1 flags lists
+                # flagged indices first (ascending within ties);
+                # `valid` masks the fill.
+                _, idx = jax.lax.top_k(flags.astype(jnp.int32), k)
                 sub_lz = jax.tree.map(lambda a: a[idx], lz)
                 sub_w = jax.tree.map(lambda a: a[idx], warm)
-                x_c, w_c = all_cold(sub_lz, sub_w)
-                valid = transition[idx]
+                x_c, w_c, _ = all_cold(sub_lz, sub_w)
+                valid = flags[idx]
 
                 def merge(full, sub):
                     v = valid.reshape((k,) + (1,) * (sub.ndim - 1))
@@ -605,11 +656,27 @@ def compute_grf_mpc_batched(states, model, params,
 
                 return merge(x_w, x_c), jax.tree.map(merge, w_w, w_c)
 
-            n_flag = jnp.sum(transition)
-            branch = ((n_flag > 0).astype(jnp.int32)
-                      + (n_flag > k).astype(jnp.int32))
-            x_sol, warm_out = jax.lax.switch(
-                branch, [all_base, compact, all_cold], lazy, warm_in)
+            def routed(lz, warm):
+                # base everyone (fixed shape); flagged = a-priori
+                # transition flags + a-posteriori health rejects.
+                # Flag-free healthy ticks return the base result with
+                # no compact work; overflow falls back to whole-batch
+                # cold.
+                x_w, w_w, bad = all_base(lz, warm)
+                flags = transition | bad
+                n_flag = jnp.sum(flags)
+                return jax.lax.cond(
+                    n_flag > k,
+                    lambda: cold2(lz, warm),
+                    lambda: jax.lax.cond(
+                        n_flag > 0,
+                        lambda: fix(x_w, w_w, flags, lz, warm),
+                        lambda: (x_w, w_w)))
+
+            # a-priori overflow (synchronized flips / mode switches)
+            # skips the base program entirely
+            x_sol, warm_out = jax.lax.cond(
+                jnp.sum(transition) > k, cold2, routed, lazy, warm_in)
     return jax.vmap(_finish_grf)(states, x_sol, warm_out, lazy.gradient)
 
 

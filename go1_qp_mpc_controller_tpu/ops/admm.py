@@ -865,33 +865,15 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
     return sol, WarmState(x=x, y=y_out, rho=rho_out, minv=minv_out)
 
 
-@f32_matmuls
-def warm_basin_ok(lazy, warm, settings, mu=None):
-    """Cheap health probe: will the fused warm tick's Schulz safeguard
-    accept the carried KKT inverse against THIS tick's KKT?
-
-    Lets the controller route genuinely stale carries (contact flips it
-    didn't see, post-latch garbage, large state jumps) to a full cold
-    solve instead of solve_warm_fused's short-schedule fallback, which
-    cannot converge a cold init and would emit several garbage-GRF ticks
-    (the reference's equivalent is re-running initSolver when the OSQP
-    workspace is invalidated). Costs one fused KKT build + one (n, n)
-    matmul. Same acceptance signature as the in-solver safeguard.
-
-    Returns:
-      () bool — True when the carry is refinable.
-    """
-    from go1_qp_mpc_controller_tpu.config import params as P
-    mu = P.MPC_MU if mu is None else mu
-    eq = jnp.isclose(lazy.lb, lazy.ub)
-    rho_vec = jnp.where(eq, warm.rho * settings.rho_eq_scale, warm.rho)
-    m_b, s, _ = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
-    x0_b = warm.minv / (s[:, None] * s[None, :])
-    inner = jnp.matmul(m_b, x0_b, precision=jax.lax.Precision.HIGHEST)
-    row_inner = jnp.sum(jnp.abs(inner), axis=-1)
-    d = jnp.diagonal(inner)
-    return (jnp.all(jnp.isfinite(inner)) & (jnp.min(d) > 1e-4)
-            & (jnp.max(row_inner) < 3.0))
+# NOTE (r4): the a-priori `warm_basin_ok` probe (a controller-facing
+# twin of the in-solver Schulz safeguard: one fused KKT build + one
+# HIGHEST (n, n) matmul per scenario per tick) was removed — the
+# controller now health-checks the warm solve's OWN residuals after the
+# fact (ctrl/controller.py _unhealthy) and re-solves flagged scenarios
+# cold through the compact overlay, which costs nothing on healthy
+# ticks (the probe cost ~2.7 ms/tick at batch 4096 to guard a p50
+# 1-3 scenarios/tick failure mode) and additionally catches
+# finite-garbage solutions the acceptance signature cannot see.
 
 
 def _fused_balanced_kkt(lazy, rho_vec, sigma, mu):

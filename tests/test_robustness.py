@@ -119,3 +119,60 @@ def test_ten_tick_zero_torque_warmup():
     tau = np.asarray(trace.joint_torques)
     np.testing.assert_allclose(tau[:8], 0.0)
     assert np.abs(tau[-1]).max() > 0.1
+
+
+def test_health_gate_recovers_garbage_carry():
+    """A finite-garbage primal/dual carry (post-latch state, no contact
+    flip, no gradient drift — invisible to every a-priori flag) must be
+    caught by the a-posteriori residual health gate
+    (controller._unhealthy) and re-solved cold, in BOTH the per-scenario
+    auto program and the batched compact overlay, and the two must
+    agree per scenario."""
+    model = types.default_robot_model(DTYPE)
+    params = types.default_ctrl_params(DTYPE)
+    dt = jnp.asarray(0.002, DTYPE)
+    batch = 4
+    c = rollout.init_carry(model, params, height=0.3, dtype=DTYPE)
+    c = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), c)
+
+    batched = jax.jit(lambda cs: controller.control_step_batched(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False))
+    per_auto = jax.jit(jax.vmap(lambda cs: controller.control_step(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False, warm_mode="auto")))
+
+    def tick(cc, step_fn):
+        def observe(cs, sm, fz):
+            sensors = srb_sim.read_sensors(sm, model, cs.contacts, fz, dt)
+            return controller.sensor_update(cs, model, sensors, dt)
+        ctrl = jax.vmap(observe)(cc.ctrl, cc.sim, cc.stance_forces_z)
+        ctrl = step_fn(ctrl)
+        sim, fz = jax.vmap(
+            lambda sm, tau, con, tgt: srb_sim.step(sm, model, tau, con,
+                                                   tgt, dt))(
+            cc.sim, ctrl.joint_torques, ctrl.contacts,
+            ctrl.foot_pos_target_last_time)
+        return rollout.RolloutCarry(ctrl=ctrl, sim=sim, stance_forces_z=fz)
+
+    for _ in range(3):
+        c = tick(c, batched)
+    # scenario 0: garbage primal/dual carry — measured to drive the warm
+    # solve's primal residual to ~1e3 (vs the <0.01 healthy ceiling)
+    ctrl = c.ctrl
+    ctrl = ctrl._replace(
+        qp_warm_x=ctrl.qp_warm_x.at[0].set(500.0),
+        qp_warm_y=ctrl.qp_warm_y.at[0].set(-300.0))
+    c = c._replace(ctrl=ctrl)
+
+    out_b = tick(c, batched)
+    out_a = tick(c, per_auto)
+    # both programs flag and cold-resolve scenario 0 identically
+    np.testing.assert_allclose(
+        np.asarray(out_b.ctrl.foot_forces_grf),
+        np.asarray(out_a.ctrl.foot_forces_grf), atol=1e-8)
+    # and the recovered forces are sane: finite, matching the healthy
+    # neighbors (identical scenarios) to solver tolerance
+    grf = np.asarray(out_b.ctrl.foot_forces_grf)
+    assert np.isfinite(grf).all()
+    np.testing.assert_allclose(grf[0], grf[1], atol=2.0)
