@@ -120,6 +120,22 @@ class ADMMSettings(NamedTuple):
     # plain Newton (coefficient 1) per scenario; only the cold/fallback
     # branch is scaled, so a converged carry is never destroyed.
     schulz_l0: float = 0.0
+    # FIRST-segment-only variant of schulz_l0 for the segmented cold
+    # path (applies when no warm inverse is carried in): segment 1
+    # exists to estimate rho — first_seg_iters probing iterations at
+    # the generic rho0 — and its inverse is discarded when segment 2
+    # re-inverts at the adapted rho, so it tolerates a friendlier
+    # worst-case edge than the full 1e-6 schedule. Measured (r4, TPU,
+    # batch 4096 random scenarios): 1e-3 (9+tail steps instead of
+    # 14+tail) lifts cold solves 73.1k -> 77.7k/s with cold-vs-tight
+    # p50/p90 and the warmchain accuracy fields bit-unchanged and zero
+    # non-finite latches; 1e-2 gains another 1.5k/s but nudges the
+    # cold p90 8.42 -> 8.59 N, declined. (Contrast: relaxing the
+    # LATER-segment edge schulz_l0_refine 1e-4 -> 1e-3 is catastrophic
+    # — cold p50 18.7 N — because basin-REJECTED second segments
+    # restart cold on that schedule and genuinely need the margin.)
+    # 0 = use schulz_l0.
+    schulz_l0_first: float = 0.0
     # Later-segment variant of schulz_l0: segments after the first carry
     # the previous segment's inverse (rescaled by the rho ratio), which
     # the basin test accepts for all but pathological rho jumps — those
@@ -137,7 +153,9 @@ class ADMMSettings(NamedTuple):
     schulz_impl: str = "xla"
     # NOTE (r4 negative result): dropping the per-iteration KKT matvec
     # (minv @ rhs) from HIGHEST (6-pass bf16) to HIGH (3-pass) measured
-    # EXACTLY neutral in the full warm chain (25.460 vs 25.474 ms/tick,
+    # EXACTLY neutral in BOTH the full warm chain (25.460 vs 25.474
+    # ms/tick) and the cold solve (73.1k vs 72.1k solves/s, identical
+    # accuracy fields) at batch 4096,
     # batch 4096) — the batched matvec is HBM-bound on the 58 KB
     # inverse stream, not MXU-pass-bound, so the precision knob buys
     # nothing and was removed.
@@ -475,6 +493,8 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         l0 = settings.schulz_l0
         if warm_minv is not None and settings.schulz_l0_refine > 0:
             l0 = settings.schulz_l0_refine
+        elif warm_minv is None and settings.schulz_l0_first > 0:
+            l0 = settings.schulz_l0_first
         # single-pass-bf16 steps need the widened top-edge margin (see
         # _scaled_schulz_coeffs); only the pallas impl runs them
         coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
