@@ -33,12 +33,17 @@ def _make_tick_fns(settings_cold, settings_warm):
         return srb.discretize(a_c, b_c, 0.0025)
 
     def cold_one(scn):
+        # r5 fused cold program (VERDICT r5 item 1): single segment at
+        # the analytic per-scenario rho0, balanced KKT in one fused
+        # pass, one scaled Schulz schedule — replaces the r2-r4
+        # probing-segment schedule (admm.solve_cold_fused docstring)
         a_d, b_d = discretized(scn, scn.x0)
-        qp = srb.condense_nilpotent_const(a_d, b_d, scn.x0, scn.x_ref,
-                                          scn.q_weights, scn.r_weights,
-                                          scn.contacts)
-        sol, warm = admm.mpc_solve(qp, settings_cold, mu=scn.mu,
-                                   return_warm=True)
+        lazy = srb.condense_nilpotent_lazy(a_d, b_d, scn.x0, scn.x_ref,
+                                           scn.q_weights, scn.r_weights,
+                                           scn.contacts)
+        sol, warm = admm.mpc_solve_cold(lazy, settings_cold, mu=scn.mu,
+                                        contacts=scn.contacts,
+                                        foot_pos=scn.foot_pos)
         return sol.x[:12], warm
 
     def warm_tick_one(scn, x0, warm):
@@ -87,6 +92,11 @@ def ADMMSettingsTight():
     from go1_qp_mpc_controller_tpu.ops import admm
     return admm.ADMMSettings(seg_iters=80, segments=4, polish=True,
                              polish_solver="inv")
+
+
+def controller_warm_settings():
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    return controller.WARM_SETTINGS
 
 
 def _make_ctrl_bench(settings_cold, batch):
@@ -233,6 +243,78 @@ def _make_stagewise_fns(settings_cold, settings_warm, h):
     return cold, jax.jit(ticks, static_argnums=(3,))
 
 
+def _mesh_ctrl_tick_bench(mesh, per_device, cpu, settings, reps=2):
+    """Sharded PRODUCTION controller tick (make_sharded_control_step
+    semantics: control_step_batched under shard_map, shard-local
+    routing) timed on the real mesh, plus the identical unsharded
+    program for the sharding-overhead comparison (VERDICT r4 item 4:
+    the number configs[4] actually needs). Stand cadence, warmed carry,
+    scan-chained ticks per dispatch to amortize dispatch overhead."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.envs import rollout
+    from go1_qp_mpc_controller_tpu.models import types
+    from go1_qp_mpc_controller_tpu.parallel import mesh as mesh_lib
+
+    dtype = jnp.float32
+    model = types.default_robot_model(dtype)
+    params = types.default_ctrl_params(dtype)
+    dt = jnp.asarray(0.002, dtype)
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    batch = per_device * n_data
+    ticks = 4 if cpu else 20
+
+    def chain_local(states):
+        def body(s, _):
+            s = controller.control_step_batched(
+                s, model, params, dt, settings=settings)
+            return s, s.foot_forces_grf[:, 0, 2]
+        return jax.lax.scan(body, states, None, length=ticks)
+
+    spec = PS(mesh_lib.DATA_AXIS)
+    chain_sharded = jax.jit(shard_map(
+        chain_local, mesh=mesh, in_specs=spec,
+        out_specs=(spec, PS(None, mesh_lib.DATA_AXIS)),
+        check_vma=False))
+    chain_plain = jax.jit(chain_local)
+
+    c = rollout.init_carry(model, params, height=0.3, dtype=dtype)
+    states = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), c.ctrl)
+    states = jax.device_put(states, mesh_lib.scenario_sharding(mesh))
+    # warm the carry: one young-cold chain, age past the young-tick
+    # guard, one settling chain at the warm cadence
+    states, _ = chain_sharded(states)
+    states = states._replace(
+        mpc_init_counter=jnp.full((batch,), 100, jnp.int32))
+    states, _ = chain_sharded(states)
+    jax.block_until_ready(states.qp_warm_minv)
+
+    perturb = jax.jit(lambda s, k: s._replace(root_pos=s.root_pos
+                                              + 1e-4 * k))
+    s_reps = [perturb(states, jnp.asarray(float(r + 1), dtype))
+              for r in range(reps)]
+    out = {}
+    for tag, fn in (("sharded", chain_sharded),
+                    ("unsharded", chain_plain)):
+        if cpu and tag == "unsharded":
+            continue
+        _, fz = fn(s_reps[0])
+        jax.block_until_ready(fz)
+        t0 = _time.perf_counter()
+        outs = [fn(s)[1] for s in s_reps]
+        jax.block_until_ready(outs)
+        el = (_time.perf_counter() - t0) / reps
+        out[f"ctrl_ticks_per_s_{tag}"] = round(batch * ticks / el, 1)
+    return out
+
+
 def main_mesh():
     """`bench.py --mesh`: weak-scaling sweep over mesh sizes {1, 2, 4, 8}
     (clipped to the available devices) — per-device batch held constant,
@@ -240,6 +322,8 @@ def main_mesh():
     TPU chip this documents the size-1 point; run on a slice (or the
     virtual CPU mesh, JAX_PLATFORMS=cpu XLA_FLAGS=
     --xla_force_host_platform_device_count=8) for the scaling curve.
+    Also benches the sharded PRODUCTION controller tick
+    (make_sharded_control_step) against its unsharded twin.
     """
     import jax
     import jax.numpy as jnp
@@ -254,9 +338,14 @@ def main_mesh():
     # plumbing check runs in CI time; TPU: the production cold schedule
     cpu = devices[0].platform == "cpu"
     per_device = 32 if cpu else 4096
+    # TPU: the r5 fused single-segment cold program (the sweep path
+    # routes segments == 1 to admm.solve_cold_fused); CPU: a short
+    # segmented schedule for the virtual-mesh plumbing check
     settings = (admm.ADMMSettings(seg_iters=10, segments=2, polish=False)
                 if cpu else
-                admm.ADMMSettings(seg_iters=30, segments=2, polish=False))
+                admm.ADMMSettings(seg_iters=40, segments=1, polish=False,
+                                  schulz_l0=1e-6, schulz_hi_tail=1,
+                                  schulz_impl="pallas"))
     reps = 2
     points = {}
     for n in [1, 2, 4, 8]:
@@ -280,6 +369,21 @@ def main_mesh():
         el = (time.perf_counter() - t0) / reps
         points[str(n)] = round(batch / el, 1)
 
+    # sharded production controller tick on the largest mesh (VERDICT r4
+    # item 4) — the ctrl settings are the bench cold settings on TPU, a
+    # short schedule on the CPU plumbing check
+    mesh = mesh_lib.make_mesh(devices=devices[:max(
+        n for n in [1, 2, 4, 8] if n <= len(devices))])
+    ctrl_pd = 32 if cpu else 4096
+    # the controller's transition solves use the segmented program
+    # (warm-started from carried primal/duals — a different cadence
+    # than the fresh-sweep fused cold above)
+    ctrl_settings = settings if cpu else admm.ADMMSettings(
+        seg_iters=30, segments=2, first_seg_iters=20, polish=False,
+        schulz_l0=1e-6, schulz_l0_first=1e-3, schulz_l0_refine=1e-4,
+        schulz_hi_tail=1, schulz_impl="pallas")
+    ctrl_out = _mesh_ctrl_tick_bench(mesh, ctrl_pd, cpu, ctrl_settings)
+
     sizes = sorted(int(k) for k in points)
     base = points[str(sizes[0])]
     result = {
@@ -290,11 +394,21 @@ def main_mesh():
         "mode": (f"weak scaling, per-device batch {per_device}, "
                  f"cold solves, data-axis sharding"),
         "solves_per_s_by_mesh": points,
-        "scaling_efficiency": {
-            str(n): round(points[str(n)] / (base * n), 3)
-            for n in sizes},
+        **ctrl_out,
+        "ctrl_tick_mode": ("sharded production controller tick "
+                           "(control_step_batched under shard_map, "
+                           f"per-device batch {ctrl_pd}, stand cadence, "
+                           "warmed carry) vs the identical unsharded "
+                           "program"),
         "devices": [str(d) for d in devices[:sizes[-1]]],
     }
+    if not cpu:
+        # weak-scaling efficiency is meaningful only on real devices: a
+        # virtual CPU mesh time-shares N fake devices over 2 vCPUs, and
+        # its "efficiency" measures the harness, not ICI (r4 note —
+        # dropped from the artifact to stop dashboards diffing noise)
+        result["scaling_efficiency"] = {
+            str(n): round(points[str(n)] / (base * n), 3) for n in sizes}
     print(json.dumps(result))
 
 
@@ -343,13 +457,26 @@ def main():
     # r4: schulz_l0_first=1e-3 — the rho-probing first segment runs a
     # 9+tail-step schedule instead of 14+tail (see ADMMSettings), cold
     # 73.1k -> 77.7k solves/s with accuracy fields unchanged.
-    settings_cold = admm.ADMMSettings(seg_iters=30, segments=2,
-                                      first_seg_iters=20,
+    # r5: the fresh-cold metric moves to the FUSED single-segment
+    # program at the analytic rho0 (admm.solve_cold_fused /
+    # mpc_rho0_analytic): measured 36.4 ms device time at batch 4096
+    # (112k solves/s) vs the segmented schedule's ~52 ms, with
+    # cold-vs-tight accuracy BETTER (p50 0.34 / p90 4.2 vs 1.08 / 8.9)
+    # and the cold-carry warmchain cleaner (p50 0.081 / p90 1.89 vs
+    # 0.111 / 2.8). The segmented schedule remains the controller's
+    # transition-solve program (settings_cold_ctrl below): those solves
+    # warm-start from carried primal/duals, a different cadence.
+    settings_cold = admm.ADMMSettings(seg_iters=40, segments=1,
                                       polish=False, schulz_l0=1e-6,
-                                      schulz_l0_first=1e-3,
-                                      schulz_l0_refine=1e-4,
                                       schulz_hi_tail=1,
                                       schulz_impl="pallas")
+    settings_cold_ctrl = admm.ADMMSettings(seg_iters=30, segments=2,
+                                           first_seg_iters=20,
+                                           polish=False, schulz_l0=1e-6,
+                                           schulz_l0_first=1e-3,
+                                           schulz_l0_refine=1e-4,
+                                           schulz_hi_tail=1,
+                                           schulz_impl="pallas")
     # accuracy at this config (r3 probe vs a tight polished reference over
     # 8 drifting ticks x 256 random scenarios on TPU): first-step GRF
     # median diff 0.12 N, p90 3.3 N on ~180 N forces — inside the ~5 N
@@ -383,15 +510,42 @@ def main():
     reps = 2
 
     # --- cold solves ------------------------------------------------------
+    # Scan-amortized like the warm chains: `cold_inner` fresh solves per
+    # dispatch over distinct on-device perturbations — the production
+    # sweep cadence (back-to-back batches on device). Per-dispatch
+    # timing adds ~9 ms of host/tunnel overhead per call on this
+    # harness (measured r5: 45 ms/dispatch vs 36.4 ms/solve amortized)
+    # and is reported alongside as cold_dispatch_ms for transparency.
     out, warms = cold(scn)
     scn_reps = [perturb(scn, jnp.asarray(float(k + 1), dtype))
                 for k in range(reps)]
     jax.block_until_ready((out, scn_reps))
+    cold_inner = 4
+
+    def _cold_sweep(scn, base):
+        def body(carry, k):
+            s = scn._replace(x0=scn.x0 + 1e-4 * (base + k))
+            fz, _ = cold(s)
+            return carry + jnp.sum(fz[:, 2]), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                              jnp.arange(1.0, cold_inner + 1.0,
+                                         dtype=dtype))
+        return acc
+
+    cold_sweep_fn = jax.jit(_cold_sweep)
+    bases = [jnp.asarray(float(100 * (k + 1)), dtype)
+             for k in range(reps)]
+    jax.block_until_ready(cold_sweep_fn(scn, bases[0]))
+    t0 = time.perf_counter()
+    outs = [cold_sweep_fn(s, b) for s, b in zip(scn_reps, bases)]
+    jax.block_until_ready(outs)
+    cold_elapsed = (time.perf_counter() - t0) / reps / cold_inner
+    cold_rate = batch / cold_elapsed
+    # single-dispatch latency (includes harness round trip)
     t0 = time.perf_counter()
     outs = [cold(s)[0] for s in scn_reps]
     jax.block_until_ready(outs)
-    cold_elapsed = (time.perf_counter() - t0) / reps
-    cold_rate = batch / cold_elapsed
+    cold_dispatch_ms = (time.perf_counter() - t0) / reps * 1000.0
 
     # --- warm ticks (headline) -------------------------------------------
     fz, warms2 = ticks(scn, warms, drifts, num_ticks)
@@ -426,7 +580,7 @@ def main():
     ctrl_batch = 4096
     ctrl_ticks = 40
     (init_batch, set_walk, perturb_c, chain_warm, chain_batched,
-     chain_robust) = _make_ctrl_bench(settings_cold, ctrl_batch)
+     chain_robust) = _make_ctrl_bench(settings_cold_ctrl, ctrl_batch)
     c0 = init_batch(jax.random.PRNGKey(2))
     # 6 batched ticks warm the carried KKT inverse (first ticks route to
     # the cold branch via the transition test, exactly like production)
@@ -552,6 +706,25 @@ def main():
     jax.block_until_ready(acts)
     rl_rate = rl_batch * len(obs_reps) / (time.perf_counter() - t0)
 
+    # --- roofline accounting (VERDICT r4 item 2): static flop/byte model
+    # per benched mode vs the device peaks, so MFU/roofline claims are
+    # regressable from this artifact instead of living in prose ---------
+    from go1_qp_mpc_controller_tpu.utils import roofline
+
+    peaks = roofline.device_peaks()
+    roofline_out = {
+        "device": peaks.name,
+        "peak_bf16_tflops": round(peaks.bf16_flops / 1e12, 1),
+        "peak_hbm_gbps": round(peaks.hbm_bytes / 1e9, 1),
+        "warm_tick": roofline.summarize(
+            roofline.warm_tick_stages(settings_warm), warm_rate, peaks),
+        "cold_solve": roofline.summarize(
+            roofline.cold_solve_stages(settings_cold), cold_rate, peaks),
+        "ctrl_tick": roofline.summarize(
+            roofline.ctrl_tick_stages(controller_warm_settings()),
+            ctrl_rate, peaks),
+    }
+
     result = {
         "metric": "mpc_solves_per_s",
         "value": round(warm_rate, 1),
@@ -559,6 +732,11 @@ def main():
         "vs_baseline": round(warm_rate / 100000.0, 4),
         "mode": "warm ticks (reference cadence, A1RobotControl.cpp:522-540)",
         "cold_solves_per_s": round(cold_rate, 1),
+        "cold_mode": ("fresh fused single-segment solves at the analytic "
+                      "rho0 (A1RobotControl.cpp:447 cadence), "
+                      f"{cold_inner} sweeps/dispatch scan-amortized like "
+                      "the warm chains"),
+        "cold_dispatch_ms": round(cold_dispatch_ms, 3),
         "batch": batch,
         "ticks_per_round": num_ticks,
         "warm_tick_batch_ms": round(warm_elapsed / num_ticks * 1000.0, 3),
@@ -581,6 +759,7 @@ def main():
         "warm_vs_tight_grf_p90_N": round(warm_acc_p90, 3),
         **sw_rates,
         "stagewise_batch": sw_batch,
+        "roofline": roofline_out,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

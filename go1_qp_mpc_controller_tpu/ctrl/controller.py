@@ -388,9 +388,16 @@ def compute_grf_mpc(state, model, params,
         x_sol, warm_out, bad = jax.lax.switch(
             branch, [warm_branch, window_branch, cold_branch],
             lazy, warm_in)
+        # a health-rejected carry is untrustworthy BY CONSTRUCTION (the
+        # warm solve it fed produced garbage residuals), so the cold
+        # re-solve starts neutral — warm-starting ADMM's fixed budget
+        # from garbage duals measurably fails to re-converge (total
+        # vertical support off by ~20 N at 75 iterations, r5 probe)
+        neutral = warm_in._replace(x=jnp.zeros_like(warm_in.x),
+                                   y=jnp.zeros_like(warm_in.y))
         x_sol, warm_out = jax.lax.cond(
             bad,
-            lambda: cold_branch(lazy, warm_in)[:2],
+            lambda: cold_branch(lazy, neutral)[:2],
             lambda: (x_sol, warm_out))
     return _finish_grf(state, x_sol, warm_out, grad_carry=lazy.gradient)
 
@@ -458,22 +465,33 @@ def _transition_test(state, lazy, params):
 # the compact overlay in the batched program; via a lax.cond in the
 # unbatched one). Replaces the a-priori basin probe, which duplicated
 # the warm solve's first Schulz inner product + KKT build (~2.7 ms/tick
-# at batch 4096). Calibration (TPU, batch 512, closed-loop trot):
-# healthy non-transition warm ticks across a full gait cycle measure
-# prim <= 0.0089 / dual <= 0.0013 (max), while a basin-rejected carry
-# (corrupted minv -> in-solver cold-init fallback at the short refine
-# schedule) floors at prim ~0.43 / dual ~0.088 and primal-garbage
-# carries read prim ~1e3 — the thresholds sit ~7x above healthy and
-# ~7x below the failure floor. Nonfinite solves carry resid = 1e6
-# (ops/admm.py _warm_finish) and are always flagged.
-_WARM_HEALTH_PRIM = 0.06
-_WARM_HEALTH_DUAL = 0.01
+# at batch 4096). The thresholds are RELATIVE: primal residual against
+# the projected-constraint scale max|z| (force units), dual residual
+# against the gradient scale max|q| (gradient-cancellation floored at
+# max diag(H) x 1 N, the same hazard class as the drift-denominator
+# floor above) — absolute thresholds were calibrated only for the
+# default presets and silently mis-scale with robot mass / q,r weights
+# (r4 advisor finding). Calibration: r4 absolutes (TPU, batch 512,
+# closed-loop trot: healthy prim <= 0.0089 / dual <= 0.0013 raw at
+# z_scale ~76 N, g_scale ~0.085; basin-rejected-fallback failure floor
+# prim ~0.43 / dual ~0.088) normalize to healthy prim/z <= 1.2e-4,
+# dual/g <= 1.5e-2 vs failure floors 5.7e-3 / ~1.0 — the thresholds
+# below keep the r4 ~7x margins on both sides and reproduce the old
+# absolute cutoffs on the default presets. A CPU f32 re-probe of the
+# same protocol (r5) measures healthy maxima 5x / 40x below these.
+# Nonfinite solves carry resid = 1e6 (ops/admm.py _warm_finish) and
+# are always flagged.
+_WARM_HEALTH_PRIM_REL = 8e-4
+_WARM_HEALTH_DUAL_REL = 0.15
 
 
-def _unhealthy(sol):
+def _unhealthy(sol, lazy):
     """() bool — the warm/window solve's output is not trustworthy."""
-    return ((sol.primal_res > _WARM_HEALTH_PRIM)
-            | (sol.dual_res > _WARM_HEALTH_DUAL))
+    z_scale = jnp.maximum(jnp.max(jnp.abs(sol.z)), 1.0)
+    g_scale = jnp.maximum(jnp.max(jnp.abs(lazy.gradient)),
+                          jnp.max(srb.lazy_hessian_diag(lazy)))
+    return ((sol.primal_res > _WARM_HEALTH_PRIM_REL * z_scale)
+            | (sol.dual_res > _WARM_HEALTH_DUAL_REL * g_scale))
 
 
 def _grf_branches(settings, warm_settings, window_settings=None):
@@ -501,11 +519,11 @@ def _grf_branches(settings, warm_settings, window_settings=None):
 
     def warm_branch(lz, warm):
         sol, w = admm.mpc_solve_warm_fused(lz, warm, warm_settings)
-        return sol.x, w, _unhealthy(sol)
+        return sol.x, w, _unhealthy(sol, lz)
 
     def window_branch(lz, warm):
         sol, w = admm.mpc_solve_warm_fused(lz, warm, window_settings)
-        return sol.x, w, _unhealthy(sol)
+        return sol.x, w, _unhealthy(sol, lz)
 
     return cold_branch, warm_branch, window_branch
 
@@ -627,23 +645,36 @@ def compute_grf_mpc_batched(states, model, params,
             x, w, _ = all_cold(lz, warm)
             return x, w
 
+        def neutralize(warm, bad):
+            # health-rejected carries (bad on a NON-transition scenario)
+            # are garbage by construction: the cold re-solve starts
+            # neutral, matching the per-scenario auto program — a fixed
+            # ADMM budget warm-started from garbage duals measurably
+            # fails to re-converge (r5 probe: total vertical support
+            # ~20 N off at 75 iterations)
+            z = (bad & ~transition)[:, None].astype(warm.x.dtype)
+            return warm._replace(x=warm.x * (1.0 - z),
+                                 y=warm.y * (1.0 - z))
+
         if k == 0:
             def base_or_cold(lz, warm):
                 x, w, bad = all_base(lz, warm)
                 # health rejects without a compact sub-batch: re-solve
                 # the whole batch cold (rare; k = 0 is the legacy mode)
                 return jax.lax.cond(jnp.any(bad),
-                                    lambda: cold2(lz, warm),
+                                    lambda: cold2(lz, neutralize(warm,
+                                                                 bad)),
                                     lambda: (x, w))
             x_sol, warm_out = jax.lax.cond(
                 jnp.any(transition), cold2, base_or_cold, lazy, warm_in)
         else:
-            def fix(x_w, w_w, flags, lz, warm):
+            def fix(x_w, w_w, flags, bad, lz, warm):
                 # gather the flagged scenarios into a static-k cold
                 # sub-batch and scatter its results (solution AND carry)
                 # over the base ones. top_k over the 0/1 flags lists
                 # flagged indices first (ascending within ties);
                 # `valid` masks the fill.
+                warm = neutralize(warm, bad)
                 _, idx = jax.lax.top_k(flags.astype(jnp.int32), k)
                 sub_lz = jax.tree.map(lambda a: a[idx], lz)
                 sub_w = jax.tree.map(lambda a: a[idx], warm)
@@ -667,10 +698,10 @@ def compute_grf_mpc_batched(states, model, params,
                 n_flag = jnp.sum(flags)
                 return jax.lax.cond(
                     n_flag > k,
-                    lambda: cold2(lz, warm),
+                    lambda: cold2(lz, neutralize(warm, bad)),
                     lambda: jax.lax.cond(
                         n_flag > 0,
-                        lambda: fix(x_w, w_w, flags, lz, warm),
+                        lambda: fix(x_w, w_w, flags, bad, lz, warm),
                         lambda: (x_w, w_w)))
 
             # a-priori overflow (synchronized flips / mode switches)
@@ -683,7 +714,8 @@ def compute_grf_mpc_batched(states, model, params,
 def compute_grf_mpc_stagewise(state, model, params,
                               settings=admm.ADMMSettings(),
                               use_terrain_adapt=True,
-                              warm_settings=WARM_SETTINGS, horizon=40):
+                              warm_settings=WARM_SETTINGS, horizon=40,
+                              warm_mode="auto"):
     """Long-horizon MPC GRF solve via the stagewise O(H) Riccati-ADMM
     solver (ops/stagewise.py) — the production path for horizons the
     condensed H=10 design cannot reach (SURVEY section 5's long-context
@@ -728,10 +760,22 @@ def compute_grf_mpc_stagewise(state, model, params,
     grad_drift = (jnp.max(jnp.abs(q_lin.reshape(-1) - state.qp_warm_grad))
                   / (den_sw + 1e-9))
     contact_flip = jnp.any(state.contacts != state.qp_warm_contacts)
+    # the full post-flip window routes cold here (no stagewise WINDOW
+    # program: the Riccati refactorization is exact per tick, so the
+    # cold solve IS the long-budget program), and the pre-flip guard
+    # mirrors the condensed path — the landing swing foot moves the
+    # gradient fast in the 1-2 ticks before a hand-off, under the drift
+    # threshold but beyond the short warm budget (ctrl/controller.py
+    # _pre_flip calibration note)
     transition = (contact_flip
                   | (state.mpc_init_counter < WARM_YOUNG_TICKS)
                   | _post_flip(state, params)
+                  | _pre_flip(state, params)
                   | (grad_drift > WARM_DRIFT_TOL))
+    if warm_mode == "cold":
+        transition = jnp.ones((), bool)
+    elif warm_mode == "warm":
+        transition = jnp.zeros((), bool)
 
     # flip repair, mirroring the condensed path: restart duals, zero the
     # newly-infeasible swing primal entries
@@ -827,7 +871,7 @@ def control_step(state, model, params, dt, solver_type=MPC,
         if horizon is not None and horizon != P.PLAN_HORIZON:
             state = compute_grf_mpc_stagewise(
                 state, model, params, settings, use_terrain_adapt,
-                warm_settings, horizon)
+                warm_settings, horizon, warm_mode)
         else:
             state = compute_grf_mpc(state, model, params, settings,
                                     use_terrain_adapt, warm_settings,

@@ -155,8 +155,7 @@ class ADMMSettings(NamedTuple):
     # (minv @ rhs) from HIGHEST (6-pass bf16) to HIGH (3-pass) measured
     # EXACTLY neutral in BOTH the full warm chain (25.460 vs 25.474
     # ms/tick) and the cold solve (73.1k vs 72.1k solves/s, identical
-    # accuracy fields) at batch 4096,
-    # batch 4096) — the batched matvec is HBM-bound on the 58 KB
+    # accuracy fields) at batch 4096 — the batched matvec is HBM-bound on the 58 KB
     # inverse stream, not MXU-pass-bound, so the precision knob buys
     # nothing and was removed.
     # NOTE (r4 negative result): storing the per-segment KKT inverse in
@@ -871,10 +870,15 @@ def _warm_finish(minv, hessian, gradient, cost, qbar, lb_f, ub_f, rho,
                                   jnp.maximum(jnp.max(jnp.abs(gradient)),
                                               jnp.max(jnp.abs(cty)))),
                                   eps))
-        factor = jnp.sqrt(prim_rel / jnp.maximum(dual_rel, eps))
+        # deadband on the RAW ratio, then clip: with a tight
+        # adapt_factor_max (the cold-carry cap, < 5) the old
+        # clip-then-deadband order would gate every clipped factor
+        # through the (>5 | <0.2) test and freeze adaptation entirely;
+        # for fmax >= 5 the two orders are equivalent
+        raw = jnp.sqrt(prim_rel / jnp.maximum(dual_rel, eps))
         fmax = settings.adapt_factor_max
-        factor = jnp.clip(factor, 1.0 / fmax, fmax)
-        factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
+        factor = jnp.where((raw > 5.0) | (raw < 0.2),
+                           jnp.clip(raw, 1.0 / fmax, fmax), 1.0)
         factor = jnp.where(
             jnp.maximum(prim_rel, dual_rel) > settings.adapt_tol,
             factor, 1.0)
@@ -972,6 +976,151 @@ def solve_warm_fused(lazy, warm, settings, mu):
                                         warm.minv)
     return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f, ub_f,
                         rho, rho_vec, matvec, rmatvec, warm, settings)
+
+
+def mpc_rho0_analytic(contacts, mu, foot_pos):
+    """Analytic per-scenario ADMM rho0 for FRESH condensed-MPC solves.
+
+    Replaces the rho-probing first segment of the r2-r4 cold schedule
+    (20 iterations at the generic rho = 0.1, whose Schulz inverse was
+    then discarded) with a closed-form estimate, enabling the
+    single-segment :func:`solve_cold_fused` program (VERDICT r5 item 1).
+
+    Structure, measured on TPU (batch-4096 random sweep scenarios, r5;
+    validated on a held-out seed):
+
+    - For statically BALANCEABLE contact patterns — 3-4 stance legs, or
+      the two diagonal pairs (FL+RR / FR+RL, the trot stances) — OSQP's
+      residual-ratio rule drives rho to the 1e-3 floor in >76% of
+      scenarios (91% for diagonal pairs): after cost scaling the active
+      curvature is dominated by the r_weights ~1e-6 flat directions, so
+      the dual residual rules. rho0 = rho_min = 1e-3.
+    - For SIDE pairs (front/rear/left/right two-leg stances — statically
+      unbalanceable, so the fz caps and friction cones activate and the
+      primal residual matters) the adapted rho spreads over [1e-3, 3]
+      with log10(rho) ~= 4.2 - 6.0 mu - 9.9 height (residual 0.6
+      decades; mu is by far the strongest feature, r = -0.76). These
+      patterns never occur in trot production; they exist in the random
+      sweep distribution.
+
+    Single-segment accuracy at this rho0 vs a tight polished reference
+    (batch 4096, 40 iterations): p50 0.35 / p90 4.2 N overall — better
+    than the 2-segment probing schedule's 1.08 / 8.9 — with the side-
+    pair subclass at p50 2.9 / p90 24 (vs 1.8 / 12.6; the predictor's
+    0.6-decade scatter) bounded by the fz <= 180 N box.
+
+    Args:
+      contacts: (4,) bool, leg order FL, FR, RL, RR (A1CtrlStates.h
+        convention).
+      mu: () friction coefficient.
+      foot_pos: (4, 3) foot positions relative to CoM (world-aligned).
+
+    Returns:
+      () rho0 in [1e-3, 1].
+    """
+    cb = contacts.astype(bool)
+    cf = contacts.astype(foot_pos.dtype)
+    balanceable = ((jnp.sum(cb) >= 3) | (cb[0] & cb[3]) | (cb[1] & cb[2]))
+    height = -jnp.sum(foot_pos[:, 2] * cf) / jnp.maximum(jnp.sum(cf), 1.0)
+    side = jnp.power(jnp.asarray(10.0, foot_pos.dtype),
+                     4.2 - 6.0 * mu - 9.9 * height)
+    return jnp.where(balanceable, jnp.asarray(1e-3, foot_pos.dtype),
+                     jnp.clip(side, 1e-3, 1.0))
+
+
+@f32_matmuls
+def solve_cold_fused(lazy, settings, mu, rho0):
+    """Fresh cold MPC solve as ONE fused single-segment program.
+
+    The r2-r4 cold path (segmented :func:`solve`) spent a 20-iteration
+    probing segment at a generic rho0 plus a second Schulz schedule to
+    re-invert at the adapted rho, with the Hessian materialized and the
+    KKT built/balanced in separate HBM passes. With
+    :func:`mpc_rho0_analytic` supplying a per-scenario rho0, the whole
+    solve collapses to:
+
+      fused condensation -> balanced KKT (one output pass,
+      :func:`_fused_balanced_kkt`) -> ONE scaled Newton-Schulz schedule
+      in the VMEM Pallas kernel -> seg_iters ADMM iterations ->
+      end-of-solve rho adaptation for the carry (the same OSQP rule the
+      segmented path applies between segments).
+
+    Measured (TPU v5e, batch 4096): 45.3 -> ~41 ms per cold solve with
+    accuracy BETTER than the segmented schedule (see mpc_rho0_analytic).
+    Models the reference's fresh-ConvexMpc-per-call + first-init OSQP
+    cadence (A1RobotControl.cpp:447, :522-531).
+
+    Args:
+      lazy: srb.LazyCondensedQP.
+      settings: ADMMSettings; seg_iters is the single segment's budget,
+        schulz_l0 the cold schedule edge (1e-6 default provisioning).
+      mu: () friction coefficient.
+      rho0: () initial rho (from :func:`mpc_rho0_analytic`).
+
+    Returns:
+      (ADMMSolution, WarmState) — carry semantics as :func:`solve` with
+      return_warm=True.
+    """
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    dtype = lazy.gradient.dtype
+    hess = lambda v: srb_mod.lazy_hessian_matvec(lazy, v)
+    eq = jnp.isclose(lazy.lb, lazy.ub)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    lb_f = jnp.maximum(lazy.lb, -big)
+    ub_f = jnp.minimum(lazy.ub, big)
+    matvec = functools.partial(srb_mod.constraint_matvec, mu=mu)
+    rmatvec = functools.partial(srb_mod.constraint_rmatvec, mu=mu)
+
+    rho = jnp.asarray(rho0, dtype)
+    rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
+    m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
+    qbar = cost * lazy.gradient
+
+    l0 = settings.schulz_l0 if settings.schulz_l0 > 0 else 1e-6
+    coeffs = _scaled_schulz_coeffs(l0)
+    if settings.schulz_impl == "pallas":
+        # pre-balanced input: the kernel's internal Jacobi balance is
+        # the identity on a unit-diagonal matrix (see solve_warm_fused)
+        unb = s[:, None] * s[None, :]
+        cold_fn, _ = _pallas_schulz_fns(
+            coeffs, 0, hi_tail=settings.schulz_hi_tail,
+            tile=settings.schulz_tile)
+        minv = cold_fn(m_b) * unb
+    else:
+        minv = _schulz_iterate_balanced(m_b, s, 0, None, coeffs=coeffs)
+
+    warm0 = WarmState(x=jnp.zeros_like(lazy.gradient),
+                      y=jnp.zeros_like(lazy.lb), rho=rho, minv=minv)
+    # End-of-solve rho adaptation for the CARRY, capped at 2x per solve:
+    # the carried inverse is rescaled by the rho ratio, and a 2x-off
+    # inverse sits safely inside the warm tick's Schulz basin (row-sum
+    # signature < 3.0) where one plain refine step absorbs it — an
+    # uncapped jump (the residual-ratio rule asks for up to 100x when
+    # the analytic rho0 missed, e.g. mispredicted side pairs) rescales
+    # minv far outside the basin and poisons the whole warm chain
+    # (measured: forces collapse to ~0.5 N within one 15-iteration
+    # tick). CONSISTENCY of the (rho, minv) pair beats rho optimality:
+    # ADMM converges at any rho, just slower, and the next ticks'
+    # capped adaptations walk rho the rest of the way.
+    return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f,
+                        ub_f, rho, rho_vec, matvec, rmatvec, warm0,
+                        settings._replace(
+                            adapt_warm_rho=True,
+                            adapt_factor_max=min(settings.adapt_factor_max,
+                                                 2.0)))
+
+
+def mpc_solve_cold(lazy_qp, settings=ADMMSettings(), mu=None, rho0=None,
+                   contacts=None, foot_pos=None):
+    """Fresh cold MPC solve over a srb.LazyCondensedQP (see
+    :func:`solve_cold_fused`). Computes the analytic rho0 from
+    (contacts, mu, foot_pos) unless ``rho0`` is given directly."""
+    from go1_qp_mpc_controller_tpu.config import params as P
+    mu = P.MPC_MU if mu is None else mu
+    if rho0 is None:
+        rho0 = mpc_rho0_analytic(contacts, mu, foot_pos)
+    return solve_cold_fused(lazy_qp, settings, mu, rho0)
 
 
 def warm_state_from_solution(sol, minv_seed=None, n=None, dtype=None):

@@ -103,7 +103,12 @@ def _schulz_sinv_fn():
     def _rule(axis_size, in_batched, s_mat):
         if not in_batched[0]:
             s_mat = jnp.broadcast_to(s_mat, (axis_size,) + s_mat.shape)
-        if jax.default_backend() == "tpu":
+        # Mosaic supports only 32-bit types: the f64 oracle-parity
+        # configuration (x64 vmapped EKF) must take the XLA loop even
+        # when the default backend is TPU (verified crash otherwise:
+        # "NotImplementedError: 64-bit types are not supported")
+        if (jax.default_backend() == "tpu"
+                and s_mat.dtype == jnp.float32):
             from go1_qp_mpc_controller_tpu.ops import pallas_admm
             return pallas_admm.schulz_inverse_lanes(s_mat, coeffs), True
         return jax.vmap(

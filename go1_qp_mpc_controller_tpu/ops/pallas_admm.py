@@ -396,22 +396,15 @@ def _lane_matmul(a, b, n):
     return acc
 
 
-def _schulz_lanes_kernel(m_ref, out_ref, *, coeffs, n):
-    """Scaled Newton-Schulz inverse, batch-in-lanes layout (n, n, L).
+def schulz_lanes_body(m, coeffs):
+    """Scaled Newton-Schulz inverse on (n, n, L) lane-layout values.
 
-    For SMALL matrices (the EKF's 28-dim innovation) the MXU path wastes
-    a full (padded) systolic pass per batch element: a batched 28x28
-    matmul at batch 4096 measures ~0.35 ms (~7x its HBM floor), so the
-    12-step schedule costs ~6 ms of the 9.4 ms EKF stage. This kernel
-    keeps the batch in the lane dimension and runs the entire schedule
-    (including the Jacobi balance and unbalance) as full-width VPU
-    arithmetic: measured 2.76 ms vs 6.06 ms for the XLA loop at batch
-    4096 (TPU v5e, scan-timed). All steps run at native f32 FMA
-    precision — strictly tighter than the MXU path's bf16x3 middles, so
-    the scaled-schedule hazard margins (admm._scaled_schulz_coeffs) hold
-    a fortiori.
+    The reusable body of :func:`_schulz_lanes_kernel`, also inlined by
+    the fused sensor+EKF kernel (ops/pallas_ekf.py) for its innovation
+    inverse. Balances, runs the scaled schedule, unbalances — all VPU
+    FMA work at full lane occupancy, f32 throughout.
     """
-    m = m_ref[...]                                  # (n, n, L) raw SPD
+    n = m.shape[0]
     dt = m.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
@@ -433,7 +426,25 @@ def _schulz_lanes_kernel(m_ref, out_ref, *, coeffs, n):
             x = _lane_matmul(x, 2.0 * eye - inner, n)
         else:
             x = _lane_matmul(x, (2.0 * a) * eye - (a * a) * inner, n)
-    out_ref[...] = x * scale                        # unbalanced inverse
+    return x * scale                                # unbalanced inverse
+
+
+def _schulz_lanes_kernel(m_ref, out_ref, *, coeffs, n):
+    """Scaled Newton-Schulz inverse, batch-in-lanes layout (n, n, L).
+
+    For SMALL matrices (the EKF's 28-dim innovation) the MXU path wastes
+    a full (padded) systolic pass per batch element: a batched 28x28
+    matmul at batch 4096 measures ~0.35 ms (~7x its HBM floor), so the
+    12-step schedule costs ~6 ms of the 9.4 ms EKF stage. This kernel
+    keeps the batch in the lane dimension and runs the entire schedule
+    (including the Jacobi balance and unbalance) as full-width VPU
+    arithmetic: measured 2.76 ms vs 6.06 ms for the XLA loop at batch
+    4096 (TPU v5e, scan-timed). All steps run at native f32 FMA
+    precision — strictly tighter than the MXU path's bf16x3 middles, so
+    the scaled-schedule hazard margins (admm._scaled_schulz_coeffs) hold
+    a fortiori.
+    """
+    out_ref[...] = schulz_lanes_body(m_ref[...], coeffs)
 
 
 def schulz_inverse_lanes(m_mat, coeffs, lane_tile=128, interpret=None):

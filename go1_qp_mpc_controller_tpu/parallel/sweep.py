@@ -46,13 +46,28 @@ class SweepResult(NamedTuple):
 
 def _solve_one(scn, mpc_dt, settings, mpc_axis_size):
     """Condense + solve one scenario; the Hessian/gradient contraction is
-    sharded over the mpc axis and psum-combined when mpc_axis_size > 1."""
+    sharded over the mpc axis and psum-combined when mpc_axis_size > 1.
+
+    A single-segment ``settings`` on the unsharded-mpc path selects the
+    r5 fused cold program (admm.solve_cold_fused: analytic rho0, fused
+    balanced KKT, one scaled Schulz schedule) — the production fresh-
+    sweep configuration; multi-segment settings keep the segmented
+    rho-probing schedule (and the mpc-sharded condensation always does:
+    its psum-combined Hessian has no lazy factored form)."""
     a_c = srb.calculate_A_c(scn.x0[0:3])
     b_c = srb.calculate_B_c(scn.mass, scn.inertia, scn.root_rot,
                             scn.foot_pos)
     a_d, b_d = srb.discretize(a_c, b_c, mpc_dt)
 
     if mpc_axis_size == 1:
+        if settings.segments == 1:
+            lazy = srb.condense_nilpotent_lazy(
+                a_d, b_d, scn.x0, scn.x_ref, scn.q_weights,
+                scn.r_weights, scn.contacts)
+            sol, _ = admm.mpc_solve_cold(lazy, settings, mu=scn.mu,
+                                         contacts=scn.contacts,
+                                         foot_pos=scn.foot_pos)
+            return sol
         qp = srb.condense_nilpotent_const(a_d, b_d, scn.x0, scn.x_ref,
                                           scn.q_weights, scn.r_weights,
                                           scn.contacts)

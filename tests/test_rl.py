@@ -176,3 +176,80 @@ def test_rl_closed_loop_rollout():
     # the plant survived under the random policy (no blowup; body above
     # ground)
     assert np.asarray(tr.root_pos)[-1, 2] > 0.1
+
+
+# --- reference-weight fixtures (VERDICT r4 item 5) ------------------------
+
+REF_RESOURCE = "/root/reference/src/go1_rl_ctrl_cpp/resource"
+
+
+def _ref_path(name):
+    import os
+    path = os.path.join(REF_RESOURCE, f"{name}.pt")
+    if not os.path.exists(path):
+        pytest.skip("reference resource files not present")
+    return path
+
+
+@pytest.mark.parametrize("name", ["mass", "stand_cpp_model", "cpp_model",
+                                  "position"])
+def test_reference_weights_parity(name):
+    """Load the reference's ACTUAL TorchScript policy files
+    (Go1RLController.cpp:66-76; parameters.yaml selects mass.pt /
+    stand_cpp_model.pt) and assert torch-vs-JAX output parity on seeded
+    observations — the pytorch_debug protocol (main.cpp:11-40) run
+    against the production weights instead of a synthetic traced net.
+    Pins the architecture (48 -> 512/256/128 -> 12, ELU) and the
+    (out, in) -> (in, out) layout conversion against the real files."""
+    torch = pytest.importorskip("torch")
+    path = _ref_path(name)
+    params = policy_lib.load_torchscript_actor(path)
+    assert [tuple(w.shape) for w in params.weights] == [
+        (48, 512), (512, 256), (256, 128), (128, 12)]
+    module = torch.jit.load(path, map_location="cpu")
+    module.eval()
+    x = np.random.default_rng(7).normal(size=(16, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref = module(torch.from_numpy(x)).numpy()
+    out = np.asarray(policy_lib.mlp_apply(params,
+                                          jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # the four files hold genuinely different policies except the
+    # cpp_model/stand_cpp_model pair (byte-identical in the reference)
+    assert np.abs(ref).max() < 100.0
+
+
+@pytest.mark.slow
+def test_reference_policy_closed_loop():
+    """Closed-loop RL rollout with the reference's real walk policy
+    (mass.pt, the `weights:` selection in config/parameters.yaml):
+    servo stand, switch, then the actual trained network drives the
+    position-PD plant. Verifies the converted weights produce sane
+    bounded behavior end to end, not just tensor parity."""
+    pytest.importorskip("torch")
+    from go1_qp_mpc_controller_tpu.envs import rollout
+    from go1_qp_mpc_controller_tpu.models import types
+
+    actor = policy_lib.load_torchscript_actor(_ref_path("mass"))
+    model = types.default_robot_model(jnp.float32)
+    carry = rollout.init_rl_carry(model)
+    dt = jnp.asarray(0.004, jnp.float32)
+    switch_at = 150
+
+    run = jax.jit(lambda c: rollout.rl_rollout(
+        c, model, actor, 400, dt,
+        command_fn=lambda i: jnp.where(i >= switch_at,
+                                       jnp.asarray([0.3, 0.0, 0.0]),
+                                       jnp.zeros(3)),
+        toggle_fn=lambda i: i == switch_at))
+    _, tr = run(carry)
+
+    obs = np.asarray(tr.obs)
+    q = np.asarray(tr.target_q)
+    assert np.isfinite(obs).all() and np.isfinite(q).all()
+    assert np.abs(obs[:, :36]).max() <= rl.CLIP_OBS
+    assert (q >= np.asarray(rl.CLIP_POSE_LOWER) - 1e-5).all()
+    assert (q <= np.asarray(rl.CLIP_POSE_UPPER) + 1e-5).all()
+    # the trained policy keeps the plant upright through the rollout
+    z = np.asarray(tr.root_pos)[:, 2]
+    assert z[-1] > 0.1 and np.isfinite(z).all()

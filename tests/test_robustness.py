@@ -157,8 +157,36 @@ def test_health_gate_recovers_garbage_carry():
 
     for _ in range(3):
         c = tick(c, batched)
+    # age the carry past the young-tick guard, like the sibling tests:
+    # with mpc_init_counter < WARM_YOUNG_TICKS the a-priori transition
+    # flag fires on EVERY scenario and both programs route cold before
+    # _unhealthy is ever consulted — the r4 version of this test aged
+    # the carry only 3 ticks and passed even with the gate deleted
+    # (r4 advisor finding). A few settle ticks then let the stand-ramp
+    # gradient drift decay below WARM_DRIFT_TOL.
+    c = c._replace(ctrl=c.ctrl._replace(
+        mpc_init_counter=jnp.full((batch,), 100, jnp.int32)))
+    for _ in range(10):
+        c = tick(c, batched)
+
+    per_warm = jax.jit(jax.vmap(lambda cs: controller.control_step(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False, warm_mode="warm")))
+    per_cold = jax.jit(jax.vmap(lambda cs: controller.control_step(
+        cs, model, params, dt, settings=SETTINGS,
+        use_terrain_adapt=False, warm_mode="cold")))
+
+    # precondition (anti-vacuity): with the aged, settled carry and no
+    # injection, the routed batched tick IS the pure warm program — no
+    # a-priori flag fires and nothing is health-rejected
+    clean_b = tick(c, batched)
+    clean_w = tick(c, per_warm)
+    np.testing.assert_allclose(
+        np.asarray(clean_b.ctrl.foot_forces_grf),
+        np.asarray(clean_w.ctrl.foot_forces_grf), atol=1e-10)
+
     # scenario 0: garbage primal/dual carry — measured to drive the warm
-    # solve's primal residual to ~1e3 (vs the <0.01 healthy ceiling)
+    # solve's normalized residuals decades above the health thresholds
     ctrl = c.ctrl
     ctrl = ctrl._replace(
         qp_warm_x=ctrl.qp_warm_x.at[0].set(500.0),
@@ -167,12 +195,39 @@ def test_health_gate_recovers_garbage_carry():
 
     out_b = tick(c, batched)
     out_a = tick(c, per_auto)
-    # both programs flag and cold-resolve scenario 0 identically
-    np.testing.assert_allclose(
-        np.asarray(out_b.ctrl.foot_forces_grf),
-        np.asarray(out_a.ctrl.foot_forces_grf), atol=1e-8)
-    # and the recovered forces are sane: finite, matching the healthy
-    # neighbors (identical scenarios) to solver tolerance
+    out_w = tick(c, per_warm)
+    # the health-reject re-solve starts from a NEUTRALIZED carry (the
+    # garbage x/y carry no information), so the always-cold comparator
+    # gets scenario 0's x/y zeroed to match that semantics
+    ctrl_n = c.ctrl._replace(
+        qp_warm_x=c.ctrl.qp_warm_x.at[0].set(0.0),
+        qp_warm_y=c.ctrl.qp_warm_y.at[0].set(0.0))
+    out_c = tick(c._replace(ctrl=ctrl_n), per_cold)
     grf = np.asarray(out_b.ctrl.foot_forces_grf)
+    # both production programs flag and cold-resolve scenario 0 and
+    # agree per scenario
+    np.testing.assert_allclose(
+        grf, np.asarray(out_a.ctrl.foot_forces_grf), atol=1e-8)
+    # scenario 0 took the COLD branch: identical to the always-cold
+    # program, and NOT the garbage warm solve the gate rejected
+    np.testing.assert_allclose(
+        grf[0], np.asarray(out_c.ctrl.foot_forces_grf)[0], atol=1e-10)
+    garbage_warm = np.asarray(out_w.ctrl.foot_forces_grf)
+    assert np.abs(grf[0] - garbage_warm[0]).max() > 1e-4
+    # the healthy scenarios took the WARM branch (the gate and the
+    # a-priori flags did not over-fire on them)
+    np.testing.assert_allclose(grf[1:], garbage_warm[1:], atol=1e-10)
+    # and the recovered forces are sane: finite, upward, with total
+    # vertical support in the physically plausible band. (The cold
+    # re-solve and the warm neighbors are NOT force-compared: at this
+    # state the first-step total-z direction is a near-flat valley of
+    # the condensed objective — measured: a 19 N first-step z shift
+    # costs 5.6e-4 of objective, and even 200 warm iterations move
+    # along the valley rather than to the polished point — so two
+    # near-optimal solvers legitimately land ~20 N apart. The
+    # load-bearing equality check is the cold-comparator assert above.)
     assert np.isfinite(grf).all()
-    np.testing.assert_allclose(grf[0], grf[1], atol=2.0)
+    weight = 15.0 * 9.8
+    for i in range(batch):
+        assert 0.5 * weight < grf[i, :, 2].sum() < 1.3 * weight, (
+            i, grf[i, :, 2].sum())

@@ -5,6 +5,7 @@ optimality at H=40 (where no dense reference exists), and batching.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from go1_qp_mpc_controller_tpu.compat import oracle
 from go1_qp_mpc_controller_tpu.models import srb
@@ -196,3 +197,81 @@ def test_stagewise_warm_tick_tracks_cold():
                                     settings=cold_st)
         d = np.abs(np.asarray(sol_w.u[0]) - np.asarray(sol_c.u[0]))
         assert d.max() < 1.0, (k, d.max())   # applied GRF within 1 N
+
+
+@pytest.mark.slow
+def test_stagewise_production_path_tracks_cold_in_closed_loop():
+    """Closed-loop gate for the stagewise warm path at H=40 (VERDICT r4
+    item 7): the controller's stagewise program (warm carry + per-tick
+    Riccati refactorization + pre/post-flip cold windows,
+    compute_grf_mpc_stagewise) is teacher-forced against cold-solving
+    every tick through a walking rollout with gait transitions —
+    mirroring tests/test_warm_ticks.py's condensed-path gate."""
+    from go1_qp_mpc_controller_tpu.ctrl import controller
+    from go1_qp_mpc_controller_tpu.envs import rollout, srb_sim
+    from go1_qp_mpc_controller_tpu.models import types
+
+    h = 40
+    model = types.default_robot_model(DT)
+    params = types.default_ctrl_params(DT)
+    carry = rollout.init_carry(model, params, height=0.3, dtype=DT,
+                               horizon=h)
+    dt = jnp.asarray(0.002, DT)
+    settings = admm.ADMMSettings(seg_iters=60, segments=3, polish=False)
+    warm_st = admm.ADMMSettings(seg_iters=25, segments=1, polish=False)
+    vel = jnp.asarray([0.3, 0.0, 0.0], DT)
+
+    def tick(c, i):
+        ctrl, sim = c.ctrl, c.sim
+        walk = i >= 50
+        ctrl = ctrl._replace(
+            movement_mode=jnp.where(walk, 1, 0).astype(jnp.int32),
+            root_lin_vel_d=jnp.where(walk, vel, jnp.zeros(3, DT)))
+        sensors = srb_sim.read_sensors(sim, model, ctrl.contacts,
+                                       c.stance_forces_z, dt)
+        ctrl = controller.sensor_update(ctrl, model, sensors, dt,
+                                        estimate=False)
+        ctrl = ctrl._replace(root_pos=sim.root_pos,
+                             root_lin_vel=sim.root_lin_vel)
+        warm = controller.control_step(ctrl, model, params, dt,
+                                       settings=settings,
+                                       warm_settings=warm_st,
+                                       use_terrain_adapt=False,
+                                       horizon=h)
+        cold = controller.control_step(ctrl, model, params, dt,
+                                       settings=settings,
+                                       warm_settings=warm_st,
+                                       use_terrain_adapt=False,
+                                       horizon=h, warm_mode="cold")
+        sim2, fz = srb_sim.step(sim, model, warm.joint_torques,
+                                warm.contacts,
+                                warm.foot_pos_target_last_time, dt)
+        diff = jnp.max(jnp.abs(warm.foot_forces_grf
+                               - cold.foot_forces_grf))
+        return (rollout.RolloutCarry(ctrl=warm, sim=sim2,
+                                     stance_forces_z=fz), diff)
+
+    out, diffs = jax.jit(
+        lambda c: jax.lax.scan(tick, c, jnp.arange(400)))(carry)
+    diffs = np.asarray(diffs)
+    assert np.isfinite(diffs).all()
+    # Bars calibrated r5 (CPU f64, this exact protocol): warm-vs-cold
+    # p50 1.4 / p95 15 / max 18 N, and INSENSITIVE to the warm budget
+    # (25 -> 60 iterations moves the median only 1.36 -> 1.17) — the
+    # residual is flat-valley separation, not lag: at H=40 the
+    # condensed objective is near-flat in first-step force
+    # redistributions across the horizon (measured on the condensed
+    # path: a 19 N first-step shift costs 5.6e-4 of objective), so two
+    # converged solvers legitimately sit ~15 N apart on transient
+    # ticks. The gate catches regressions (a broken carry measures
+    # 100+ N) without demanding valley-point agreement beyond what
+    # ADMM semantics define.
+    assert np.median(diffs) < 3.0, np.median(diffs)
+    assert np.percentile(diffs, 95) < 20.0, np.percentile(diffs, 95)
+    assert diffs.max() < 40.0, diffs.max()
+    # and the warm program's own closed loop is physically sound: the
+    # robot is upright, at height, and moving forward at the command
+    z = float(out.sim.root_pos[2])
+    assert 0.25 < z < 0.35, z
+    assert float(jnp.max(jnp.abs(out.ctrl.root_euler))) < 0.3
+    assert float(out.sim.root_lin_vel[0]) > 0.1
