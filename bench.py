@@ -485,8 +485,13 @@ def main():
     # numbers are recorded as warm_vs_tight_grf_p50/p90_N in this JSON so
     # a regression is visible in the artifact. One Schulz step tracks the
     # per-tick KKT drift; more steps measured no accuracy change.
+    # schulz_impl="pallas" (r5): the warm tick routes through the
+    # fused-KKT Schulz kernel — the KKT build+balance chain (measured
+    # ~3.4 ms/tick at batch 4096, ~8x its byte roofline in XLA) runs
+    # inside the kernel and the (120, 120) matrix never crosses HBM
     settings_warm = admm.ADMMSettings(seg_iters=15, segments=1,
-                                      polish=False, schulz_refine=1)
+                                      polish=False, schulz_refine=1,
+                                      schulz_impl="pallas")
     batch = 4096
     # 40 on-device ticks per dispatch: amortizes the axon tunnel's ~10 ms
     # per-call HTTP overhead (probed: 10 ticks 194.8k/s, 40 ticks 205.9k/s,

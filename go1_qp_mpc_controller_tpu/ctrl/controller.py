@@ -53,8 +53,13 @@ QP = 0
 # 40.1 -> 30.0 ms/tick (102k -> 136k ticks/s); accuracy gates
 # (tests/test_warm_ticks.py, test_batched_transition.py,
 # test_warm_accuracy.py) unchanged.
+# schulz_impl="auto": on TPU the warm tick routes through the fused-KKT
+# Schulz kernel (r5: the KKT build+balance measured ~3.4 ms/tick at
+# batch 4096, ~8x its byte roofline, and the kernel removes it from the
+# program entirely); CPU runs the XLA path so the test suite stays off
+# the Pallas interpreter.
 WARM_SETTINGS = admm.ADMMSettings(seg_iters=20, segments=1, polish=False,
-                                  schulz_refine=1)
+                                  schulz_refine=1, schulz_impl="auto")
 
 # Robust warm-tick schedule for BATCHED walking sweeps: the scaled-
 # Schulz refinement (schulz_l0_refine) rebuilds basin-rejected carries
@@ -157,7 +162,8 @@ WARM_POSTFLIP_TICKS = 10.0
 # cold solve's ~64 ms GRF stage.
 WARM_POSTFLIP_COLD_TICKS = 3.0
 WINDOW_WARM_SETTINGS = admm.ADMMSettings(seg_iters=80, segments=1,
-                                         polish=False, schulz_refine=1)
+                                         polish=False, schulz_refine=1,
+                                         schulz_impl="auto")
 
 
 def _post_flip(state, params, ticks=WARM_POSTFLIP_TICKS):
@@ -203,12 +209,77 @@ class SensorData(NamedTuple):
     foot_force: jnp.ndarray   # (4,) contact sensor normal forces
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _observe_ekf_fn(cfn):
+    """custom_vmap'd observe+estimate core (keyed by the contact-force
+    normalizer). Per scenario it is the reference composition below; a
+    float32 TPU vmap routes the WHOLE batch into the fused lane-batched
+    Pallas kernel (ops/pallas_ekf.py), which runs the quat/FK/Jacobian
+    observe stage and the 18/28 EKF tick in one VMEM-resident program —
+    the observe+estimate stage was the warmed tick's largest lane-
+    padding tax (VERDICT r4 item 3)."""
+    from go1_qp_mpc_controller_tpu.ops import pallas_ekf
+
+    def ref(x, P, quat, acc, gyro, qpos, qvel, ffoot, mode, dt,
+            rho_opt, rho_fix):
+        rot = rotations.quat_to_rot_mat(quat)
+        euler = rotations.quat_to_euler(quat)
+        rot_z = rotations.rot_z(euler[2])
+        q_legs = qpos.reshape(4, 3)
+        dq_legs = qvel.reshape(4, 3)
+        fpr = kinematics.fk(q_legs, rho_opt, rho_fix)
+        jf = kinematics.jac(q_legs, rho_opt, rho_fix)
+        fvr = jnp.einsum('lij,lj->li', jf, dq_legs)
+        fpa = fpr @ rot.T
+        wav = rot @ gyro       # world frame (HardwareA1ROS.cpp:284)
+        res = ekf.update_estimation(x, P, dt, rot, acc, gyro, fpr, fvr,
+                                    ffoot, mode,
+                                    contact_force_norm=cfn)
+        return {"rot": rot, "euler": euler, "rot_z": rot_z,
+                "foot_pos_rel": fpr, "foot_pos_abs": fpa,
+                "foot_vel_rel": fvr, "j_foot": jf, "root_ang_vel": wav,
+                "x": res.x, "P": res.P,
+                "est_contacts": res.estimated_contacts}
+
+    @jax.custom_batching.custom_vmap
+    def run(*args):
+        return ref(*args)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        out_batched = {k: True for k in
+                       ("rot", "euler", "rot_z", "foot_pos_rel",
+                        "foot_pos_abs", "foot_vel_rel", "j_foot",
+                        "root_ang_vel", "x", "P", "est_contacts")}
+        main_batched = all(in_batched[:9])
+        shared_ok = not any(in_batched[9:])
+        if (jax.default_backend() == "tpu"
+                and args[0].dtype == jnp.float32
+                and main_batched and shared_ok):
+            out = pallas_ekf.observe_ekf_lanes(
+                *args[:9], args[9], args[10], args[11],
+                contact_force_norm=cfn, interpret=False)
+            return out, out_batched
+        bc = [a if b else
+              jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+              for a, b in zip(args, in_batched)]
+        return jax.vmap(ref)(*bc), out_batched
+
+    return run
+
+
 def sensor_update(state, model, sensors, dt, estimate=True,
                   contact_force_norm=100.0):
     """Ingest sensors, refresh kinematics, and run the KF.
 
     Mirrors gt_pose_callback + main_update estimation
-    (GazeboA1ROS.cpp:242-288, 190-198).
+    (GazeboA1ROS.cpp:242-288, 190-198). With ``estimate`` the whole
+    observe+EKF stage routes through :func:`_observe_ekf_fn` — under a
+    float32 TPU vmap that is ONE fused lane-batched Pallas program
+    (ops/pallas_ekf.py).
 
     Args:
       state: CtrlState.
@@ -224,13 +295,33 @@ def sensor_update(state, model, sensors, dt, estimate=True,
     Returns:
       updated CtrlState.
     """
+    geom = model.leg_geometry
+    if estimate:
+        out = _observe_ekf_fn(float(contact_force_norm))(
+            state.estimator_x, state.estimator_P, sensors.quat_wxyz,
+            sensors.imu_acc, sensors.imu_ang_vel, sensors.joint_pos,
+            sensors.joint_vel, sensors.foot_force, state.movement_mode,
+            dt, geom.rho_opt, geom.rho_fix)
+        return state._replace(
+            root_rot_mat=out["rot"], root_euler=out["euler"],
+            root_rot_mat_z=out["rot_z"],
+            imu_acc=sensors.imu_acc, imu_ang_vel=sensors.imu_ang_vel,
+            joint_pos=sensors.joint_pos, joint_vel=sensors.joint_vel,
+            foot_force=sensors.foot_force,
+            foot_pos_rel=out["foot_pos_rel"],
+            foot_pos_abs=out["foot_pos_abs"],
+            foot_vel_rel=out["foot_vel_rel"],
+            j_foot=out["j_foot"], root_ang_vel=out["root_ang_vel"],
+            estimator_x=out["x"], estimator_P=out["P"],
+            estimated_contacts=out["est_contacts"] >= 0.5,
+            root_pos=out["x"][0:3], root_lin_vel=out["x"][3:6])
+
     rot = rotations.quat_to_rot_mat(sensors.quat_wxyz)
     euler = rotations.quat_to_euler(sensors.quat_wxyz)
     rot_z = rotations.rot_z(euler[2])
 
     q_legs = sensors.joint_pos.reshape(4, 3)
     dq_legs = sensors.joint_vel.reshape(4, 3)
-    geom = model.leg_geometry
     foot_pos_rel = kinematics.fk(q_legs, geom.rho_opt, geom.rho_fix)
     j_foot = kinematics.jac(q_legs, geom.rho_opt, geom.rho_fix)
     foot_vel_rel = jnp.einsum('lij,lj->li', j_foot, dq_legs)
@@ -238,25 +329,13 @@ def sensor_update(state, model, sensors, dt, estimate=True,
     root_ang_vel = rot @ sensors.imu_ang_vel   # world frame
                                                # (HardwareA1ROS.cpp:284)
 
-    state = state._replace(
+    return state._replace(
         root_rot_mat=rot, root_euler=euler, root_rot_mat_z=rot_z,
         imu_acc=sensors.imu_acc, imu_ang_vel=sensors.imu_ang_vel,
         joint_pos=sensors.joint_pos, joint_vel=sensors.joint_vel,
         foot_force=sensors.foot_force, foot_pos_rel=foot_pos_rel,
         foot_pos_abs=foot_pos_abs, foot_vel_rel=foot_vel_rel,
         j_foot=j_foot, root_ang_vel=root_ang_vel)
-
-    if estimate:
-        res = ekf.update_estimation(
-            state.estimator_x, state.estimator_P, dt, rot, sensors.imu_acc,
-            sensors.imu_ang_vel, foot_pos_rel, foot_vel_rel,
-            sensors.foot_force, state.movement_mode,
-            contact_force_norm=contact_force_norm)
-        state = state._replace(
-            estimator_x=res.x, estimator_P=res.P,
-            estimated_contacts=res.estimated_contacts >= 0.5,
-            root_pos=res.x[0:3], root_lin_vel=res.x[3:6])
-    return state
 
 
 def compute_grf_mpc(state, model, params,

@@ -148,8 +148,10 @@ class ADMMSettings(NamedTuple):
     # "xla" = per-step matmul loop (HBM-bound: ~1.65 GB of m_b/x traffic
     # per step at batch 4096 = 2.5 ms/step). "pallas" = VMEM-resident
     # kernel (pallas_admm.schulz_inverse_batch): M crosses HBM once and
-    # the whole schedule runs on-chip. Batched calls reach the kernel
-    # through a custom_vmap rule, so solve() stays per-scenario.
+    # the whole schedule runs on-chip. "auto" = pallas on a TPU backend,
+    # xla elsewhere (production defaults use this so CPU test runs stay
+    # off the interpreter). Batched calls reach the kernel through a
+    # custom_vmap rule, so solve() stays per-scenario.
     schulz_impl: str = "xla"
     # NOTE (r4 negative result): dropping the per-iteration KKT matvec
     # (minv @ rhs) from HIGHEST (6-pass bf16) to HIGH (3-pass) measured
@@ -452,6 +454,66 @@ def _pallas_schulz_fns(coeffs, iters, hi_tail=2, tile=8):
     return cold, warm
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_kkt_schulz_fns(coeffs, iters, hi_tail=2, tile=8):
+    """(cold_fn, warm_fn) pair with the KKT BUILT INSIDE the Schulz
+    kernel (pallas_admm.schulz_inverse_kkt_batch): callers pass the
+    lazy condensation factors (tiled quadrants, combined band
+    diagonals, cost) and the (n, n) KKT matrix never exists in HBM.
+    The XLA-side materialize -> cost-scale -> band -> Jacobi-balance
+    chain this replaces measured ~3.4 ms per batch-4096 tick (~8x its
+    byte roofline, r5) — the masked band/balance expressions lower
+    poorly. custom_vmap routes a caller's vmap into one pallas_call."""
+    from go1_qp_mpc_controller_tpu.ops import pallas_admm
+
+    kw = dict(coeffs=coeffs, iters=iters, tile=tile, hi_tail=hi_tail)
+
+    def _bcast(x, batched, axis_size):
+        return x if batched else jnp.broadcast_to(x,
+                                                  (axis_size,) + x.shape)
+
+    @jax.custom_batching.custom_vmap
+    def cold(tiled, dmain, off1, off2, cost):
+        return pallas_admm.schulz_inverse_kkt_batch(
+            tiled[None], dmain[None], off1[None], off2[None],
+            cost[None], **kw)[0]
+
+    @cold.def_vmap
+    def _cold_rule(axis_size, in_batched, *a):
+        a = [_bcast(x, bb, axis_size) for x, bb in zip(a, in_batched)]
+        return pallas_admm.schulz_inverse_kkt_batch(*a, **kw), True
+
+    @jax.custom_batching.custom_vmap
+    def warm(tiled, dmain, off1, off2, cost, x0):
+        return pallas_admm.schulz_inverse_kkt_batch(
+            tiled[None], dmain[None], off1[None], off2[None],
+            cost[None], x0=x0[None], **kw)[0]
+
+    @warm.def_vmap
+    def _warm_rule(axis_size, in_batched, *a):
+        a = [_bcast(x, bb, axis_size) for x, bb in zip(a, in_batched)]
+        return pallas_admm.schulz_inverse_kkt_batch(
+            *a[:5], x0=a[5], **kw), True
+
+    return cold, warm
+
+
+def _kkt_kernel_operands(lazy, rho_vec, sigma, mu):
+    """(tiled4, dmain, off1, off2, cost) for the fused-KKT kernel.
+
+    cost = 1/max diag(H): for the PSD condensed Hessian max|H_ij| <=
+    max_i H_ii, so this equals the max|H| normalization without
+    materializing H. dmain carries everything of M's diagonal except
+    H's own (which the kernel's quadrant build contributes)."""
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    h_diag = srb_mod.lazy_hessian_diag(lazy)
+    cost = 1.0 / jnp.maximum(jnp.max(h_diag), 1e-12)
+    main, off1, off2 = _pyramid_band_diags(rho_vec, mu)
+    dmain = cost * lazy.r_diag + sigma + main
+    return lazy.tiled[:, 0], dmain, off1, off2, cost
+
+
 def _schedule_precisions(coeffs, l0, bf16_edge, margin=1e-3):
     """DEAD LEVER, kept as a measured negative result (r4): TRUE
     single-pass-bf16 middle steps ("bf16x1") diverge to ~1e31 even with
@@ -467,6 +529,15 @@ def _schedule_precisions(coeffs, l0, bf16_edge, margin=1e-3):
     """
     raise NotImplementedError("bf16x1 middle steps are a measured "
                               "negative result; see docstring")
+
+
+def _resolved_impl(settings):
+    """Schulz implementation selection: "auto" resolves per backend at
+    trace time (pallas on TPU, xla elsewhere — the ekf lane-route
+    pattern), explicit values pass through."""
+    if settings.schulz_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return settings.schulz_impl
 
 
 def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
@@ -497,7 +568,7 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         # single-pass-bf16 steps need the widened top-edge margin (see
         # _scaled_schulz_coeffs); only the pallas impl runs them
         coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
-        if settings.schulz_impl == "pallas":
+        if _resolved_impl(settings) == "pallas":
             cold_fn, warm_fn = _pallas_schulz_fns(
                 coeffs, settings.schulz_iters,
                 hi_tail=settings.schulz_hi_tail,
@@ -945,8 +1016,6 @@ def solve_warm_fused(lazy, warm, settings, mu):
 
     rho = warm.rho
     rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
-    m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
-    qbar = cost * lazy.gradient
     # schulz_l0_refine > 0 selects the ROBUST warm tick: the refinement
     # runs the full scaled schedule for that lower edge, so a
     # basin-REJECTED carry (contact flip changed the eq-boost pattern,
@@ -954,23 +1023,29 @@ def solve_warm_fused(lazy, warm, settings, mu):
     # fixed-shape program — per scenario, while accepted carries run
     # plain Newton and converge immediately. The short schulz_refine
     # schedule stays the steady-cadence fast path.
+    if _resolved_impl(settings) == "pallas":
+        # fused-KKT kernel route: the KKT never exists in HBM — the
+        # kernel builds it from the lazy factors and runs the schedule
+        # VMEM-resident (see _pallas_kkt_schulz_fns)
+        tiled4, dmain, off1, off2, cost = _kkt_kernel_operands(
+            lazy, rho_vec, settings.sigma, mu)
+        qbar = cost * lazy.gradient
+        coeffs = (_scaled_schulz_coeffs(settings.schulz_l0_refine)
+                  if settings.schulz_l0_refine > 0
+                  else (1.0,) * settings.schulz_refine)
+        _, warm_fn = _pallas_kkt_schulz_fns(
+            coeffs, 0, hi_tail=settings.schulz_hi_tail,
+            tile=settings.schulz_tile)
+        minv = warm_fn(tiled4, dmain, off1, off2, cost, warm.minv)
+        return _warm_finish(minv, hess, lazy.gradient, cost, qbar, lb_f,
+                            ub_f, rho, rho_vec, matvec, rmatvec, warm,
+                            settings)
+    m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
+    qbar = cost * lazy.gradient
     if settings.schulz_l0_refine > 0:
         coeffs = _scaled_schulz_coeffs(settings.schulz_l0_refine)
-        if settings.schulz_impl == "pallas":
-            # VMEM-resident schedule on the ALREADY-balanced KKT: the
-            # kernel's internal Jacobi balance is the identity on a
-            # unit-diagonal matrix, so feeding m_b and the pre-balanced
-            # warm start runs the identical schedule with M crossing HBM
-            # once (the XLA loop pays ~2.5 ms/step at batch 4096 — the
-            # robust program's dominant cost before this route)
-            unb = s[:, None] * s[None, :]
-            _, warm_fn = _pallas_schulz_fns(
-                coeffs, 0, hi_tail=settings.schulz_hi_tail,
-                tile=settings.schulz_tile)
-            minv = warm_fn(m_b, warm.minv / unb) * unb
-        else:
-            minv = _schulz_iterate_balanced(m_b, s, 0, warm.minv,
-                                            coeffs=coeffs)
+        minv = _schulz_iterate_balanced(m_b, s, 0, warm.minv,
+                                        coeffs=coeffs)
     else:
         minv = _schulz_iterate_balanced(m_b, s, settings.schulz_refine,
                                         warm.minv)
@@ -1074,20 +1149,24 @@ def solve_cold_fused(lazy, settings, mu, rho0):
 
     rho = jnp.asarray(rho0, dtype)
     rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
-    m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma, mu)
-    qbar = cost * lazy.gradient
 
     l0 = settings.schulz_l0 if settings.schulz_l0 > 0 else 1e-6
     coeffs = _scaled_schulz_coeffs(l0)
-    if settings.schulz_impl == "pallas":
-        # pre-balanced input: the kernel's internal Jacobi balance is
-        # the identity on a unit-diagonal matrix (see solve_warm_fused)
-        unb = s[:, None] * s[None, :]
-        cold_fn, _ = _pallas_schulz_fns(
+    if _resolved_impl(settings) == "pallas":
+        # fused-KKT kernel route: condensation factors in, inverse out
+        # (see _pallas_kkt_schulz_fns) — the (n, n) KKT never exists in
+        # HBM and the XLA band/balance chain is gone
+        tiled4, dmain, off1, off2, cost = _kkt_kernel_operands(
+            lazy, rho_vec, settings.sigma, mu)
+        qbar = cost * lazy.gradient
+        cold_fn, _ = _pallas_kkt_schulz_fns(
             coeffs, 0, hi_tail=settings.schulz_hi_tail,
             tile=settings.schulz_tile)
-        minv = cold_fn(m_b) * unb
+        minv = cold_fn(tiled4, dmain, off1, off2, cost)
     else:
+        m_b, s, cost = _fused_balanced_kkt(lazy, rho_vec, settings.sigma,
+                                           mu)
+        qbar = cost * lazy.gradient
         minv = _schulz_iterate_balanced(m_b, s, 0, None, coeffs=coeffs)
 
     warm0 = WarmState(x=jnp.zeros_like(lazy.gradient),

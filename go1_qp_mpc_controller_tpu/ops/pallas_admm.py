@@ -241,7 +241,16 @@ def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
         x0_ref, out_ref = refs
     else:
         (out_ref,) = refs
-    m = m_ref[...]                            # (T, npd, npd)
+    out_ref[...] = _schulz_batch_body(
+        m_ref[...], x0_ref[...] if have_warm else None, coeffs,
+        precisions)
+
+
+def _schulz_batch_body(m, x0_raw, coeffs, precisions):
+    """Balance + basin-safeguarded (scaled) Newton-Schulz schedule +
+    unbalance on (T, npd, npd) VMEM values — the body of
+    :func:`_schulz_batch_kernel`, also inlined by the fused-KKT kernel
+    (:func:`_schulz_kkt_kernel`)."""
     t, npd = m.shape[0], m.shape[-1]
     hi = jax.lax.Precision.HIGHEST
 
@@ -287,8 +296,8 @@ def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
     iters = len(coeffs)
     start = 0
     ok = None
-    if have_warm:
-        x0b = x0_ref[...] / unb
+    if x0_raw is not None:
+        x0b = x0_raw / unb
         inner = dot(mb, x0b, hi)
         row_inner = jnp.sum(jnp.abs(inner), axis=-1)            # (T, npd)
         d = jnp.sum(inner * eye, axis=-1)
@@ -318,7 +327,151 @@ def _schulz_batch_kernel(m_ref, *refs, coeffs, precisions, have_warm):
         else:
             aa = a if ok is None else jnp.where(ok, 1.0, a)
             x = dot(x, (2.0 * aa) * eye - (aa * aa) * inner, prec)
-    out_ref[...] = x * unb
+    return x * unb
+
+
+def _kkt_build_tile(tiled, dmain, off1, off2, cost, coef, n, npd):
+    """Build the padded cost-scaled KKT for a tile of scenarios in VMEM.
+
+    M = cost * H + sigma I + C' diag(rho_vec) C assembled from the lazy
+    condensation factors: H's off-diagonal content is
+    sum_k COEF[k] (x) tiled[k] (srb.lazy_hessian semantics), the
+    diagonal/band terms arrive pre-combined as ``dmain`` (cost r_diag +
+    sigma + band main; identity-padded past n) and the off1/off2 band
+    diagonals (zero-padded). Replaces the XLA-side materialize ->
+    cost-scale -> band -> balance chain, which measured ~8x off its
+    byte roofline (r5) — here the (npd, npd) matrix never exists in HBM.
+
+    Args:
+      tiled: (T, 4, 12, npd) lane-padded Gram quadrants.
+      dmain, off1, off2: (T, npd) band diagonals.
+      cost: (T, 1) cost normalization 1/max diag(H) (2-D: a pure-1D
+        lane operand trips an XLA-vs-Mosaic tiling mismatch).
+      coef: (4, H, npd) padded _NILP_COEFFS_E constants.
+
+    Returns:
+      (T, npd, npd) the UNBALANCED scaled KKT (balance runs in the
+      Schulz body).
+    """
+    t = tiled.shape[0]
+    h_steps = coef.shape[1]
+    acc = coef[0][None, :, None, :] * tiled[:, 0][:, None, :, :]
+    for k in range(1, 4):
+        acc = acc + coef[k][None, :, None, :] * tiled[:, k][:, None, :, :]
+    h_rows = acc.reshape(t, h_steps * 12, npd)          # (T, n, npd)
+    pad_rows = npd - h_steps * 12
+    if pad_rows:
+        h_rows = jnp.concatenate(
+            [h_rows, jnp.zeros((t, pad_rows, npd), h_rows.dtype)],
+            axis=1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, npd, npd), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, npd, npd), 2)
+    zero = jnp.zeros((), h_rows.dtype)
+    band = (jnp.where(ii == jj, dmain[:, :, None], zero)
+            + jnp.where(jj == ii + 1, off1[:, :, None], zero)
+            + jnp.where(ii == jj + 1, off1[:, None, :], zero)
+            + jnp.where(jj == ii + 2, off2[:, :, None], zero)
+            + jnp.where(ii == jj + 2, off2[:, None, :], zero))
+    return cost[:, :, None] * h_rows + band
+
+
+def _schulz_kkt_kernel(tiled_ref, dmain_ref, off1_ref, off2_ref,
+                       cost_ref, coef_ref, *refs, coeffs, precisions,
+                       have_warm, n):
+    """Fused KKT-build + Newton-Schulz schedule for a scenario tile."""
+    if have_warm:
+        x0_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    npd = tiled_ref.shape[-1]
+    m = _kkt_build_tile(tiled_ref[...], dmain_ref[...], off1_ref[...],
+                        off2_ref[...], cost_ref[...], coef_ref[...], n,
+                        npd)
+    out_ref[...] = _schulz_batch_body(
+        m, x0_ref[...] if have_warm else None, coeffs, precisions)
+
+
+def schulz_inverse_kkt_batch(tiled, dmain, off1, off2, cost, x0=None,
+                             coeffs=None, iters=0, interpret=None,
+                             tile=8, precisions=None, hi_tail=2):
+    """Batched fused-KKT Newton-Schulz inverse (see _kkt_build_tile).
+
+    Args:
+      tiled: (B, 4, 12, n) lazy Gram quadrants (srb.LazyCondensedQP
+        tiled with the singleton axis squeezed).
+      dmain, off1, off2: (B, n) band diagonals — dmain = cost * r_diag
+        + sigma + band_main (the full diagonal of M except H's
+        off-diagonal part).
+      cost: (B,) cost scaling (1 / max diag H; PSD makes that max|H|).
+      x0: optional (B, n, n) unbalanced warm inverses.
+      coeffs / iters / precisions / hi_tail: schedule selection as in
+        :func:`schulz_inverse_batch`.
+
+    Returns:
+      (B, n, n) unbalanced inverses of cost*H + sigma I + C'diag(rho)C.
+    """
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    b, n = tiled.shape[0], tiled.shape[-1]
+    dtype = tiled.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if coeffs is None:
+        coeffs = (1.0,) * iters
+    hi = jax.lax.Precision.HIGHEST
+    hi_tail = min(len(coeffs), hi_tail)
+    if precisions is None:
+        precisions = tuple(hi if k >= len(coeffs) - hi_tail else "bf16x3"
+                           for k in range(len(coeffs)))
+    assert len(precisions) == len(coeffs)
+    pad = (-n) % 128
+    npd = n + pad
+    h_steps = srb_mod._NILP_COEFFS_E.shape[1]
+    coef = jnp.asarray(np.pad(srb_mod._NILP_COEFFS_E,
+                              ((0, 0), (0, 0), (0, pad))), dtype)
+    args = [jnp.pad(tiled, ((0, 0), (0, 0), (0, 0), (0, pad))),
+            jnp.pad(dmain, ((0, 0), (0, pad)), constant_values=1.0),
+            jnp.pad(off1, ((0, 0), (0, pad))),
+            jnp.pad(off2, ((0, 0), (0, pad))),
+            cost[:, None]]
+    if x0 is not None:
+        idx = jnp.arange(npd)
+        pad_eye = jnp.where(
+            (idx[:, None] == idx[None, :]) & (idx[:, None] >= n),
+            jnp.ones((), dtype), jnp.zeros((), dtype))
+        args.append(jnp.pad(x0, ((0, 0), (0, pad), (0, pad))) + pad_eye)
+    if b % tile:
+        reps = tile - b % tile
+        args = [jnp.concatenate([a, jnp.repeat(a[-1:], reps, 0)])
+                for a in args]
+    bt = args[0].shape[0]
+    kernel = functools.partial(_schulz_kkt_kernel, coeffs=tuple(coeffs),
+                               precisions=precisions,
+                               have_warm=x0 is not None, n=n)
+
+    def bs(shape):
+        nd = len(shape)
+        return pl.BlockSpec((tile,) + shape,
+                            lambda i, _nd=nd: (i,) + (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [bs((4, 12, npd)), bs((npd,)), bs((npd,)), bs((npd,)),
+                bs((1,)),
+                pl.BlockSpec((4, h_steps, npd), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if x0 is not None:
+        in_specs.append(bs((npd, npd)))
+    # operand order: per-tile args, shared coef constant, optional warm
+    call_args = args[:5] + [coef] + args[5:]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bt, npd, npd), dtype),
+        grid=(bt // tile,),
+        in_specs=in_specs,
+        out_specs=bs((npd, npd)),
+        interpret=interpret,
+    )(*call_args)
+    return out[:b, :n, :n]
 
 
 def schulz_inverse_batch(m_mat, iters, x0=None, coeffs=None,

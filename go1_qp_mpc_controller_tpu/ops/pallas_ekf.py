@@ -171,9 +171,9 @@ def _kernel(x_ref, p_ref, quat_ref, acc_ref, gyro_ref, qpos_ref,
     x = x_ref[...]
     p = p_ref[...]
     ffoot = ffoot_ref[...]
-    mode = mode_ref[...]
+    mode = mode_ref[...]                                    # (1, L)
     cw = jnp.clip(ffoot / contact_force_norm, 0.0, 1.0)
-    est_c = jnp.where(mode[None, :] == 0.0, jnp.ones_like(cw), cw)
+    est_c = jnp.where(mode == 0.0, jnp.ones_like(cw), cw)
     infl = 1.0 + (1.0 - est_c) * 1e3                        # (4, L)
 
     acc = acc_ref[...]
@@ -215,12 +215,12 @@ def _kernel(x_ref, p_ref, quat_ref, acc_ref, gyro_ref, qpos_ref,
     leg_v = -fvr - cross                                    # (4, 3, L)
     leg_v_w = (rcol[0] * leg_v[:, 0:1, :] + rcol[1] * leg_v[:, 1:2, :]
                + rcol[2] * leg_v[:, 2:3, :])                # (4, 3, L)
-    vel_meas = ((1.0 - est_c)[:, None, :] * x[None, 3:6]
+    vel_meas = ((1.0 - est_c)[:, None, :] * x[3:6][None]
                 + est_c[:, None, :] * leg_v_w)
     height_meas = (1.0 - est_c) * (x[2:3] + fz)             # (4, L)
     y = jnp.concatenate([fk_world.reshape(12, -1),
                          vel_meas.reshape(12, -1), height_meas], axis=0)
-    yhat = _apply_c_rows(xbar[:, None, :])[:, 0, :]         # (28, L)
+    yhat = _apply_c_rows(xbar)                              # (28, L)
     err = y - yhat
 
     # innovation S = C pbar C' + R (28, 28, L)
@@ -307,9 +307,12 @@ def observe_ekf_lanes(x, P, quat, acc, gyro, qpos, qvel, ffoot, mode,
         perm = tuple(range(1, a.ndim)) + (0,)
         return jnp.transpose(a, perm)
 
+    # mode as (1, B): a pure-1D lane input trips an XLA-vs-Mosaic
+    # tiling mismatch (f32[B] lays out T(256) while the block wants
+    # T(128))
     args = [to_lanes(a) for a in
             (x, P, quat, acc, gyro, qpos, qvel, ffoot,
-             mode.astype(dtype))]
+             mode.astype(dtype)[:, None])]
     pad = (-b) % lane_tile
     if pad:
         args = [jnp.concatenate(
@@ -336,7 +339,7 @@ def observe_ekf_lanes(x, P, quat, acc, gyro, qpos, qvel, ffoot, mode,
 
     in_specs = [lane_spec(s) for s in
                 ((NS,), (NS, NS), (4,), (3,), (3,), (12,), (12,), (4,),
-                 ())]
+                 (1,))]
     in_specs += [const_spec((1, 1)), const_spec((4, 3)),
                  const_spec((4, 5))]
     out_shapes = [(3, 3), (4, 3), (4, 3), (4, 3),

@@ -93,14 +93,19 @@ def _matmul(m, n, k):
 
 
 def _schulz_schedule_stages(name, n_steps, first_cold_analytic, hi_tail,
-                            warm_start, n=NVP, pallas=True):
-    """Pallas VMEM-resident Newton-Schulz schedule (schulz_inverse_batch).
+                            warm_start, n=NVP, pallas=True,
+                            fused_kkt=False):
+    """Pallas VMEM-resident Newton-Schulz schedule (schulz_inverse_batch
+    / schulz_inverse_kkt_batch).
 
     Matmul count: cold-analytic first step is elementwise (the iterate is
     a scalar multiple of I); every other step is 2 (n, n) matmuls; a warm
     start adds the basin inner product inside step 0 (2 matmuls total).
     Middle steps run bf16x3 (3 passes), the hi_tail tail at HIGHEST (6).
     HBM: M in + inverse out (+ x0 in when warm); iterates stay in VMEM.
+    With ``fused_kkt`` the KKT is BUILT in-kernel from the lazy factors
+    (r5): only tiled (4*12*n) + band diagonals cross HBM instead of the
+    (n, n) matrix, and the build adds VPU work.
     """
     mm = _matmul(n, n, n)
     n_mm = 2.0 * n_steps
@@ -109,12 +114,17 @@ def _schulz_schedule_stages(name, n_steps, first_cold_analytic, hi_tail,
     hi_mm = 2.0 * min(hi_tail, n_steps)
     lo_mm = max(n_mm - hi_mm, 0.0)
     passes = (6.0 * hi_mm + 3.0 * lo_mm) / max(n_mm, 1.0)
-    bytes_ = (3 if warm_start else 2) * n * n * F32
+    vpu = 10.0 * n * n       # balance/unbalance + masks
+    if fused_kkt:
+        m_in = (4 * 12 * n + 4 * n) * F32     # tiled + band diagonals
+        vpu += 16.0 * n * n                    # in-kernel H + band build
+    else:
+        m_in = n * n * F32
+    bytes_ = m_in + n * n * F32 + (n * n * F32 if warm_start else 0)
     if not pallas:
         # XLA loop: every step round-trips m_b and the iterate
         bytes_ = n_steps * 3 * n * n * F32
-    # balance/unbalance + masks ~ 10 elementwise ops over n^2
-    return Stage(name, n_mm * mm, passes, 10.0 * n * n, bytes_)
+    return Stage(name, n_mm * mm, passes, vpu, bytes_)
 
 
 def _admm_iter_stage(name, iters, n=NV, m=NCON):
@@ -154,18 +164,23 @@ def _residual_stage(name="residuals"):
 
 
 def warm_tick_stages(settings):
-    """Production warm tick (mpc_solve_warm_fused), per scenario."""
+    """Production warm tick (mpc_solve_warm_fused), per scenario. The
+    pallas impl builds the KKT inside the Schulz kernel (r5), so no
+    separate KKT stage exists there."""
     refine = settings.schulz_refine
-    return [
-        _condense_lazy_stage(),
-        _fused_kkt_stage(),
+    pallas = settings.schulz_impl in ("pallas", "auto")
+    stages = [_condense_lazy_stage()]
+    if not pallas:
+        stages.append(_fused_kkt_stage())
+    stages += [
         _schulz_schedule_stages(
             "schulz_refine", refine, first_cold_analytic=False,
             hi_tail=min(refine, 2), warm_start=True,
-            pallas=settings.schulz_impl == "pallas"),
+            pallas=pallas, fused_kkt=pallas),
         _admm_iter_stage("admm_iters", settings.seg_iters),
         _residual_stage(),
     ]
+    return stages
 
 
 def cold_solve_stages(settings):
@@ -179,13 +194,15 @@ def cold_solve_stages(settings):
     if settings.segments == 1:
         l0 = settings.schulz_l0 if settings.schulz_l0 > 0 else 1e-6
         n_steps = len(admm._scaled_schulz_coeffs(l0))
-        return [
-            _condense_lazy_stage(),
-            _fused_kkt_stage(),
+        pallas = settings.schulz_impl in ("pallas", "auto")
+        stages = [_condense_lazy_stage()]
+        if not pallas:
+            stages.append(_fused_kkt_stage())
+        return stages + [
             _schulz_schedule_stages(
                 "schulz_cold", n_steps, first_cold_analytic=True,
                 hi_tail=settings.schulz_hi_tail, warm_start=False,
-                pallas=settings.schulz_impl == "pallas"),
+                pallas=pallas, fused_kkt=pallas),
             _admm_iter_stage("admm_iters", settings.seg_iters),
             _residual_stage(),
         ]

@@ -233,3 +233,111 @@ def test_ekf_schulz_route_under_vmap():
     single = jnp.stack([ekf._schulz_sinv(spd[i]) for i in range(b)])
     np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
                                rtol=0, atol=1e-5)
+
+
+def test_fused_kkt_kernel_matches_xla_paths():
+    """schulz_inverse_kkt_batch (KKT built IN the kernel from the lazy
+    condensation factors) matches the XLA materialize->balance->schedule
+    path, for the plain warm refine, the scaled robust refine, and the
+    cold schedule — and the warm/cold fused solvers agree across
+    impls (interpreter mode)."""
+    import functools as ft
+
+    from go1_qp_mpc_controller_tpu.parallel import sweep
+
+    dtype = jnp.float32
+    batch = 6
+    scn = sweep.random_scenarios(jax.random.PRNGKey(3), batch, dtype)
+
+    def lazy_of(s):
+        a_c = srb.calculate_A_c(s.x0[0:3])
+        b_c = srb.calculate_B_c(s.mass, s.inertia, s.root_rot,
+                                s.foot_pos)
+        a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
+        return srb.condense_nilpotent_lazy(a_d, b_d, s.x0, s.x_ref,
+                                           s.q_weights, s.r_weights,
+                                           s.contacts)
+
+    lazies = jax.vmap(lazy_of)(scn)
+    rho = jnp.full((batch,), 0.05, dtype)
+    sigma = 1e-6
+
+    def operands(lz, rho_s, mu_s):
+        eq = jnp.isclose(lz.lb, lz.ub)
+        rho_vec = jnp.where(eq, rho_s * 1e3, rho_s)
+        return admm._kkt_kernel_operands(lz, rho_vec, sigma, mu_s), \
+            rho_vec
+
+    (tiled, dmain, off1, off2, cost), rho_vecs = jax.vmap(operands)(
+        lazies, rho, scn.mu)
+
+    # reference: materialized KKT + XLA schedule
+    def m_ref(lz, rho_vec, mu_s, c):
+        h = srb.lazy_hessian(lz)
+        m = (c * h + sigma * jnp.eye(h.shape[-1], dtype=dtype)
+             + admm._pyramid_ctc_dense(rho_vec, mu_s, dtype))
+        return m
+
+    m_mats = jax.vmap(lambda lz, rv, mu_s, c: m_ref(lz, rv, mu_s, c))(
+        lazies, rho_vecs, scn.mu, cost)
+
+    coeffs = admm._scaled_schulz_coeffs(1e-4)
+    ref = jax.vmap(lambda m: admm._schulz_inverse(m, 0, coeffs=coeffs)
+                   )(m_mats)
+    got = pallas_admm.schulz_inverse_kkt_batch(
+        tiled, dmain, off1, off2, cost, coeffs=coeffs, interpret=True,
+        tile=2)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-4 * scale)
+
+    # warm start path (plain refine, 2 steps)
+    x0 = ref + 1e-3 * jax.random.normal(jax.random.PRNGKey(1),
+                                        ref.shape, dtype)
+    ref_w = jax.vmap(lambda m, x: admm._schulz_inverse(m, 2, x))(
+        m_mats, x0)
+    got_w = pallas_admm.schulz_inverse_kkt_batch(
+        tiled, dmain, off1, off2, cost, x0=x0, iters=2, interpret=True,
+        tile=2)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               atol=3e-4 * scale)
+
+    # end-to-end: solve_warm_fused pallas(kkt-kernel) vs xla impl
+    warm_p = admm.ADMMSettings(seg_iters=10, segments=1, polish=False,
+                               schulz_refine=2, schulz_impl="pallas",
+                               schulz_tile=2)
+    warm_x = warm_p._replace(schulz_impl="xla")
+
+    def solve_with(st):
+        def one(lz, mu_s):
+            w = admm.WarmState(
+                x=jnp.zeros_like(lz.gradient),
+                y=jnp.zeros_like(lz.lb), rho=jnp.asarray(0.05, dtype),
+                minv=jnp.eye(120, dtype=dtype))
+            sol, _ = admm.solve_warm_fused(lz, w, st, 0.3)
+            return sol.x
+        return jax.vmap(one)(lazies, scn.mu)
+
+    xs = [np.asarray(solve_with(st)) for st in (warm_p, warm_x)]
+    # cost normalization differs only in fp (max diag vs max abs for a
+    # PSD matrix); f32 solutions of algebraically-identical
+    # formulations legitimately differ at the ~0.1 N level on the
+    # near-flat directions (see .claude/skills/verify numerics caveat)
+    np.testing.assert_allclose(xs[0], xs[1], atol=2e-1)
+
+    # cold fused program across impls
+    cold_p = admm.ADMMSettings(seg_iters=15, segments=1, polish=False,
+                               schulz_l0=1e-4, schulz_impl="pallas",
+                               schulz_tile=2)
+
+    def cold_with(st):
+        def one(lz, s):
+            sol, _ = admm.mpc_solve_cold(lz, st, mu=s.mu,
+                                         contacts=s.contacts,
+                                         foot_pos=s.foot_pos)
+            return sol.x
+        return jax.vmap(one)(lazies, scn)
+
+    xc = [np.asarray(cold_with(st))
+          for st in (cold_p, cold_p._replace(schulz_impl="xla"))]
+    np.testing.assert_allclose(xc[0], xc[1], atol=2e-1)

@@ -48,3 +48,21 @@ def test_no_prose_rate_numbers_outside_table():
     allowed = {"100,000 solves/s", "100k solves/s"}  # the north star
     bad = [h for h in hits if h.strip() not in allowed]
     assert not bad, f"prose perf numbers outside the generated table: {bad}"
+
+
+def test_notes_numbers_match_artifact():
+    """The newest NOTES_ROUND*.md carrying the numbers markers must
+    also equal the generated block (VERDICT r4 item 8: notes prose
+    drifted from driver artifacts in r4)."""
+    gen = _load_gen()
+    notes = gen.latest_notes()
+    if notes is None:
+        return
+    block = gen.render(gen.latest_artifact())
+    with open(notes) as f:
+        text = f.read()
+    m = re.search(re.escape(gen.START) + ".*?" + re.escape(gen.END),
+                  text, re.DOTALL)
+    assert m and m.group(0) == block, (
+        f"{os.path.basename(notes)} numbers block is stale; run "
+        "python scripts/gen_perf_table.py")

@@ -92,7 +92,10 @@ def test_fused_cold_model():
                               schulz_impl="pallas")
     st = roofline.cold_solve_stages(fused)
     names = [s.name for s in st]
-    assert "fused_balanced_kkt" in names and "schulz_cold" in names
+    # pallas impl builds the KKT inside the Schulz kernel (r5): no
+    # separate KKT stage, one cold schedule
+    assert "schulz_cold" in names and "hessian+kkt" not in names
+    assert "fused_balanced_kkt" not in names
     assert not any("seg1" in n for n in names)
     seg = roofline.cold_solve_stages(COLD)
     tot = lambda stages: sum(s.mxu_flops * s.mxu_passes for s in stages)
