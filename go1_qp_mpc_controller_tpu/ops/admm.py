@@ -531,11 +531,16 @@ def _schedule_precisions(coeffs, l0, bf16_edge, margin=1e-3):
                               "negative result; see docstring")
 
 
-def _resolved_impl(settings):
+def _resolved_impl(settings, dtype=None):
     """Schulz implementation selection: "auto" resolves per backend at
     trace time (pallas on TPU, xla elsewhere — the ekf lane-route
-    pattern), explicit values pass through."""
+    pattern) AND per dtype: Mosaic supports only 32-bit types, so the
+    f64 oracle-parity configuration must take the XLA loop even on TPU
+    (the ekf.py r4-advisor hazard, same class). Explicit values pass
+    through — an explicit "pallas" is the caller's assertion."""
     if settings.schulz_impl == "auto":
+        if dtype is not None and dtype != jnp.float32:
+            return "xla"
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return settings.schulz_impl
 
@@ -568,7 +573,7 @@ def _make_kkt_solve(m_mat, settings, warm_minv=None, solver=None):
         # single-pass-bf16 steps need the widened top-edge margin (see
         # _scaled_schulz_coeffs); only the pallas impl runs them
         coeffs = _scaled_schulz_coeffs(l0) if l0 > 0 else None
-        if _resolved_impl(settings) == "pallas":
+        if _resolved_impl(settings, m_mat.dtype) == "pallas":
             cold_fn, warm_fn = _pallas_schulz_fns(
                 coeffs, settings.schulz_iters,
                 hi_tail=settings.schulz_hi_tail,
@@ -1023,7 +1028,7 @@ def solve_warm_fused(lazy, warm, settings, mu):
     # fixed-shape program — per scenario, while accepted carries run
     # plain Newton and converge immediately. The short schulz_refine
     # schedule stays the steady-cadence fast path.
-    if _resolved_impl(settings) == "pallas":
+    if _resolved_impl(settings, dtype) == "pallas":
         # fused-KKT kernel route: the KKT never exists in HBM — the
         # kernel builds it from the lazy factors and runs the schedule
         # VMEM-resident (see _pallas_kkt_schulz_fns)
@@ -1152,7 +1157,7 @@ def solve_cold_fused(lazy, settings, mu, rho0):
 
     l0 = settings.schulz_l0 if settings.schulz_l0 > 0 else 1e-6
     coeffs = _scaled_schulz_coeffs(l0)
-    if _resolved_impl(settings) == "pallas":
+    if _resolved_impl(settings, dtype) == "pallas":
         # fused-KKT kernel route: condensation factors in, inverse out
         # (see _pallas_kkt_schulz_fns) — the (n, n) KKT never exists in
         # HBM and the XLA band/balance chain is gone
@@ -1198,6 +1203,10 @@ def mpc_solve_cold(lazy_qp, settings=ADMMSettings(), mu=None, rho0=None,
     from go1_qp_mpc_controller_tpu.config import params as P
     mu = P.MPC_MU if mu is None else mu
     if rho0 is None:
+        if contacts is None or foot_pos is None:
+            raise ValueError(
+                "mpc_solve_cold needs either rho0 or BOTH contacts and "
+                "foot_pos (to compute the analytic rho0)")
         rho0 = mpc_rho0_analytic(contacts, mu, foot_pos)
     return solve_cold_fused(lazy_qp, settings, mu, rho0)
 

@@ -60,7 +60,11 @@ def _solve_one(scn, mpc_dt, settings, mpc_axis_size):
     a_d, b_d = srb.discretize(a_c, b_c, mpc_dt)
 
     if mpc_axis_size == 1:
-        if settings.segments == 1:
+        # polish/refine_f64 have no fused-cold implementation, so
+        # polished single-segment settings keep the dense
+        # admm.mpc_solve path instead of silently dropping them
+        if (settings.segments == 1 and not settings.polish
+                and not settings.refine_f64):
             lazy = srb.condense_nilpotent_lazy(
                 a_d, b_d, scn.x0, scn.x_ref, scn.q_weights,
                 scn.r_weights, scn.contacts)

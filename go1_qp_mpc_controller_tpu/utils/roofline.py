@@ -167,8 +167,9 @@ def warm_tick_stages(settings):
     """Production warm tick (mpc_solve_warm_fused), per scenario. The
     pallas impl builds the KKT inside the Schulz kernel (r5), so no
     separate KKT stage exists there."""
+    from go1_qp_mpc_controller_tpu.ops import admm as _admm
     refine = settings.schulz_refine
-    pallas = settings.schulz_impl in ("pallas", "auto")
+    pallas = _admm._resolved_impl(settings) == "pallas"
     stages = [_condense_lazy_stage()]
     if not pallas:
         stages.append(_fused_kkt_stage())
@@ -194,7 +195,7 @@ def cold_solve_stages(settings):
     if settings.segments == 1:
         l0 = settings.schulz_l0 if settings.schulz_l0 > 0 else 1e-6
         n_steps = len(admm._scaled_schulz_coeffs(l0))
-        pallas = settings.schulz_impl in ("pallas", "auto")
+        pallas = admm._resolved_impl(settings) == "pallas"
         stages = [_condense_lazy_stage()]
         if not pallas:
             stages.append(_fused_kkt_stage())
@@ -233,7 +234,7 @@ def cold_solve_stages(settings):
         stages.append(_schulz_schedule_stages(
             f"schulz_seg{seg}", n_steps, first_cold_analytic=True,
             hi_tail=settings.schulz_hi_tail, warm_start=warm,
-            pallas=settings.schulz_impl == "pallas"))
+            pallas=admm._resolved_impl(settings) == "pallas"))
         stages.append(_admm_iter_stage(f"admm_seg{seg}", iters))
     stages.append(_residual_stage())
     return stages

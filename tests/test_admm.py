@@ -422,3 +422,29 @@ def test_fused_cold_program_matches_oracle():
                                        foot_pos=feet))(lazies)
     np.testing.assert_allclose(np.asarray(sols.x[0]),
                                np.asarray(sol.x), atol=1e-9)
+
+
+def test_auto_impl_resolution_guards_dtype():
+    """schulz_impl="auto" must NEVER resolve to the Mosaic kernel for a
+    non-f32 dtype (Mosaic supports only 32-bit types; the f64
+    oracle-parity configuration crashed on TPU otherwise — the same
+    hazard class as the r4 ekf.py advisor finding)."""
+    st = admm.ADMMSettings(schulz_impl="auto")
+    assert admm._resolved_impl(st, jnp.dtype("float64")) == "xla"
+    # f32 resolves per backend (xla on this CPU test host)
+    assert admm._resolved_impl(st, jnp.dtype("float32")) in ("xla",
+                                                             "pallas")
+    # explicit values pass through untouched
+    st_p = admm.ADMMSettings(schulz_impl="pallas")
+    assert admm._resolved_impl(st_p, jnp.dtype("float64")) == "pallas"
+
+
+def test_mpc_solve_cold_requires_rho_inputs():
+    f = oracle.test_mpc_fixture()
+    lazy = srb.condense_nilpotent_lazy(
+        jnp.asarray(f["a_d"]), jnp.asarray(f["b_d_list"][0]),
+        jnp.asarray(f["x0"]), jnp.asarray(f["x_ref"]).reshape(10, 13),
+        jnp.asarray(f["q_weights"]), jnp.asarray(f["r_weights"]),
+        jnp.asarray(f["contacts"]))
+    with pytest.raises(ValueError, match="contacts"):
+        admm.mpc_solve_cold(lazy, admm.ADMMSettings(segments=1))
