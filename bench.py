@@ -459,8 +459,9 @@ def main():
     # 73.1k -> 77.7k solves/s with accuracy fields unchanged.
     # r5: the fresh-cold metric moves to the FUSED single-segment
     # program at the analytic rho0 (admm.solve_cold_fused /
-    # mpc_rho0_analytic): measured 36.4 ms device time at batch 4096
-    # (112k solves/s) vs the segmented schedule's ~52 ms, with
+    # mpc_rho0_analytic): measured ~31 ms device time at batch 4096
+    # (131.9k solves/s with the fused-KKT kernel route; 36.4 ms before
+    # it) vs the segmented schedule's ~52 ms, with
     # cold-vs-tight accuracy BETTER (p50 0.34 / p90 4.2 vs 1.08 / 8.9)
     # and the cold-carry warmchain cleaner (p50 0.081 / p90 1.89 vs
     # 0.111 / 2.8). The segmented schedule remains the controller's

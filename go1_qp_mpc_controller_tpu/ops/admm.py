@@ -1125,8 +1125,10 @@ def solve_cold_fused(lazy, settings, mu, rho0):
       end-of-solve rho adaptation for the carry (the same OSQP rule the
       segmented path applies between segments).
 
-    Measured (TPU v5e, batch 4096): 45.3 -> ~41 ms per cold solve with
-    accuracy BETTER than the segmented schedule (see mpc_rho0_analytic).
+    Measured (TPU v5e, batch 4096, scan-amortized): ~31 ms per cold
+    solve (131.9k solves/s with the fused-KKT kernel route) vs the
+    segmented schedule's ~52 ms, with accuracy BETTER than the
+    segmented schedule (see mpc_rho0_analytic).
     Models the reference's fresh-ConvexMpc-per-call + first-init OSQP
     cadence (A1RobotControl.cpp:447, :522-531).
 
