@@ -162,13 +162,19 @@ def cmd_loop(args, model, params, static):
         n = run(duration_s=args.duration)
         out = {"ticks": n,
                "grf_ticks": cl.grf_ticks,
+               "time_scale": args.time_scale,
                "cycle_ms": cl.metrics.summary("cycle_ms"),
                "grf_ms": cl.metrics.summary("grf_ms")}
         if feeder is not None:
             feeder.stop()
             out["feeder_ticks"] = feeder.ticks
-            out["root_pos"] = [round(float(v), 4)
-                               for v in feeder.sim_root_pos]
+            # plant CoM: ~[0, 0, height] when the loop keeps up. On a
+            # host whose grf solve exceeds the cadence (this remote-TPU
+            # harness: ~25 ms vs 2 ms) run with time_scale <= 0.04 or
+            # the starved solver loop destabilizes the stand (see
+            # tests/test_dual_loop.py's time-scale ladder).
+            out["plant_root_pos"] = [round(float(v), 4)
+                                     for v in feeder.sim_root_pos]
             _, cmd = cl.bridge.read_command()
             out["max_abs_tau"] = round(float(abs(cmd["tau"]).max()), 3)
         print(json.dumps(out))
