@@ -589,6 +589,15 @@ def _grf_branches(settings, warm_settings, window_settings=None):
         rho_max=min(settings.rho_max, WARM_RHO_MAX))
 
     def cold_branch(lz, warm):
+        if not settings_t.polish and not settings_t.refine_f64:
+            # segmented transition solve on the lazy factors — on the
+            # pallas route each segment's KKT is built inside the
+            # Schulz kernel (admm.solve_segmented_fused); polished
+            # settings keep the dense path below (polish needs the
+            # materialized Hessian)
+            sol, w = admm.solve_segmented_fused(lz, settings_t,
+                                                P.MPC_MU, warm)
+            return sol.x, w, jnp.zeros((), bool)
         qp = srb.CondensedQP(hessian=srb.lazy_hessian(lz),
                              gradient=lz.gradient, lb=lz.lb, ub=lz.ub)
         sol, w = admm.mpc_solve(qp, settings_t, warm_x=warm.x,

@@ -1197,6 +1197,145 @@ def solve_cold_fused(lazy, settings, mu, rho0):
                                                  2.0)))
 
 
+@f32_matmuls
+def solve_segmented_fused(lazy, settings, mu, warm):
+    """SEGMENTED transition solve over a LazyCondensedQP.
+
+    The mathematics of :func:`solve` (warm-started primal/dual,
+    per-segment KKT refactorization at the adapting rho, OSQP's
+    inter-segment residual-ratio rule) restructured on the lazy
+    condensation factors: on the pallas route each segment's KKT is
+    built INSIDE the Schulz kernel (_pallas_kkt_schulz_fns) and never
+    exists in HBM — the controller's gait-transition / compact-overlay
+    cold branch is the consumer (ctrl/controller.py _grf_branches),
+    where :func:`solve` paid a materialized Hessian plus ~7 HBM passes
+    of KKT build per segment. Polish is NOT implemented (the production
+    transition settings run polish=False; polished settings keep the
+    dense :func:`solve` path).
+
+    Args:
+      lazy: srb.LazyCondensedQP.
+      settings: ADMMSettings (polish must be False; refine_f64 ignored).
+      mu: () friction coefficient.
+      warm: WarmState carry — x/y/rho are consumed like solve()'s
+        warm_x/warm_y/warm_rho (the carried minv is NOT: a transition
+        changed the equality pattern, so each segment re-inverts, first
+        segment cold exactly like solve()).
+
+    Returns:
+      (ADMMSolution, WarmState) matching solve(..., return_warm=True).
+    """
+    from go1_qp_mpc_controller_tpu.models import srb as srb_mod
+
+    if settings.polish:
+        raise ValueError("solve_segmented_fused does not implement "
+                         "polish; use mpc_solve on the dense QP")
+    dtype = lazy.gradient.dtype
+    eq = jnp.isclose(lazy.lb, lazy.ub)
+    big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+    lb_f = jnp.maximum(lazy.lb, -big)
+    ub_f = jnp.minimum(lazy.ub, big)
+    matvec = functools.partial(srb_mod.constraint_matvec, mu=mu)
+    rmatvec = functools.partial(srb_mod.constraint_rmatvec, mu=mu)
+    hess_mv = lambda v: srb_mod.lazy_hessian_matvec(lazy, v)
+
+    h_diag = srb_mod.lazy_hessian_diag(lazy)
+    cost = 1.0 / jnp.maximum(jnp.max(h_diag), 1e-12)
+    qbar = cost * lazy.gradient
+    alpha = settings.alpha
+    sigma = settings.sigma
+    impl = _resolved_impl(settings, dtype)
+
+    x = warm.x
+    y = warm.y * cost
+    rho = warm.rho
+    z = jnp.clip(matvec(x), lb_f, ub_f)
+    minv = None
+    rho_of_minv = rho
+    eps = jnp.asarray(1e-15, dtype)
+
+    for k in range(settings.segments):
+        iters_k = (settings.first_seg_iters
+                   if (k == 0 and settings.first_seg_iters > 0)
+                   else settings.seg_iters)
+        rho_vec = jnp.where(eq, rho * settings.rho_eq_scale, rho)
+        # schedule-edge selection mirrors _make_kkt_solve
+        if k == 0:
+            l0 = settings.schulz_l0_first or settings.schulz_l0
+        else:
+            l0 = settings.schulz_l0_refine or settings.schulz_l0
+        coeffs = (_scaled_schulz_coeffs(l0) if l0 > 0
+                  else (1.0,) * settings.schulz_iters)
+        if minv is not None:
+            minv = minv * (rho_of_minv / rho)
+        if impl == "pallas":
+            tiled4, dmain, off1, off2, cost_k = _kkt_kernel_operands(
+                lazy, rho_vec, sigma, mu)
+            cold_fn, warm_fn = _pallas_kkt_schulz_fns(
+                coeffs, 0, hi_tail=settings.schulz_hi_tail,
+                tile=settings.schulz_tile)
+            minv = (cold_fn(tiled4, dmain, off1, off2, cost_k)
+                    if minv is None
+                    else warm_fn(tiled4, dmain, off1, off2, cost_k,
+                                 minv))
+        else:
+            n = lazy.gradient.shape[-1]
+            hess = srb_mod.lazy_hessian(lazy)
+            main, o1, o2 = _pyramid_band_diags(rho_vec, mu)
+            m_mat = cost * hess + _band_expr(main, o1, o2, sigma, n,
+                                             dtype)
+            minv = _schulz_inverse(m_mat, settings.schulz_iters, minv,
+                                   coeffs)
+        rho_of_minv = rho
+
+        def body(_, c3, minv=minv, rho_vec=rho_vec):
+            x, z, y = c3
+            rhs = sigma * x - qbar + rmatvec(rho_vec * z - y)
+            x_t = minv @ rhs
+            z_t = matvec(x_t)
+            x_new = alpha * x_t + (1.0 - alpha) * x
+            z_mid = alpha * z_t + (1.0 - alpha) * z
+            z_new = jnp.clip(z_mid + y / rho_vec, lb_f, ub_f)
+            y_new = y + rho_vec * (z_mid - z_new)
+            return x_new, z_new, y_new
+
+        x, z, y = jax.lax.fori_loop(0, iters_k, body, (x, z, y))
+
+        # OSQP inter-segment adaptation (solve()'s rule)
+        cx = matvec(x)
+        prim = (jnp.max(jnp.abs(cx - z))
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(cx)),
+                                          jnp.max(jnp.abs(z))), eps))
+        px = cost * hess_mv(x)
+        cty = rmatvec(y)
+        dual = (jnp.max(jnp.abs(px + qbar + cty))
+                / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                              jnp.maximum(jnp.max(jnp.abs(qbar)),
+                                          jnp.max(jnp.abs(cty)))), eps))
+        factor = jnp.sqrt(prim / jnp.maximum(dual, eps))
+        fmax = settings.adapt_factor_max
+        factor = jnp.clip(factor, 1.0 / fmax, fmax)
+        factor = jnp.where((factor > 5.0) | (factor < 0.2), factor, 1.0)
+        factor = jnp.where(jnp.maximum(prim, dual) > settings.adapt_tol,
+                           factor, 1.0)
+        rho = jnp.clip(rho * factor, settings.rho_min, settings.rho_max)
+
+    finite = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    x = jnp.where(finite, x, jnp.zeros_like(x))
+    y = jnp.where(finite, y, jnp.zeros_like(y))
+    z = jnp.where(finite, z, jnp.zeros_like(z))
+    y_out = y / cost
+    primal = jnp.max(jnp.abs(matvec(x) - z))
+    dual_r = jnp.max(jnp.abs(hess_mv(x) + lazy.gradient
+                             + rmatvec(y_out)))
+    bigr = jnp.asarray(1e6, dtype)
+    sol = ADMMSolution(x=x, y=y_out, z=z, rho=rho,
+                       primal_res=jnp.where(finite, primal, bigr),
+                       dual_res=jnp.where(finite, dual_r, bigr))
+    minv_out = minv * (rho_of_minv / rho)
+    return sol, WarmState(x=x, y=y_out, rho=rho, minv=minv_out)
+
+
 def mpc_solve_cold(lazy_qp, settings=ADMMSettings(), mu=None, rho0=None,
                    contacts=None, foot_pos=None):
     """Fresh cold MPC solve over a srb.LazyCondensedQP (see

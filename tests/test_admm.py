@@ -448,3 +448,52 @@ def test_mpc_solve_cold_requires_rho_inputs():
         jnp.asarray(f["contacts"]))
     with pytest.raises(ValueError, match="contacts"):
         admm.mpc_solve_cold(lazy, admm.ADMMSettings(segments=1))
+
+
+def test_segmented_fused_matches_dense_solve():
+    """solve_segmented_fused (the controller's transition program on the
+    lazy factors) matches solve() on the dense QP: same segments, same
+    warm start, same adaptation rule — only the cost normalization
+    (max diag vs max abs, equal for PSD) and fp order differ."""
+    from go1_qp_mpc_controller_tpu.parallel import sweep
+
+    dtype = jnp.float64
+    scn = sweep.random_scenarios(jax.random.PRNGKey(11), 5, dtype)
+    st = admm.ADMMSettings(seg_iters=25, segments=3, polish=False)
+
+    def lazy_of(s):
+        a_c = srb.calculate_A_c(s.x0[0:3])
+        b_c = srb.calculate_B_c(s.mass, s.inertia, s.root_rot,
+                                s.foot_pos)
+        a_d, b_d = srb.discretize(a_c, b_c, 0.0025)
+        return srb.condense_nilpotent_lazy(a_d, b_d, s.x0, s.x_ref,
+                                           s.q_weights, s.r_weights,
+                                           s.contacts)
+
+    def both(s):
+        lz = lazy_of(s)
+        warm = admm.WarmState(
+            x=jnp.zeros_like(lz.gradient), y=jnp.zeros_like(lz.lb),
+            rho=jnp.asarray(0.1, dtype), minv=jnp.eye(120, dtype=dtype))
+        sol_f, w_f = admm.solve_segmented_fused(lz, st, s.mu, warm)
+        qp = srb.CondensedQP(hessian=srb.lazy_hessian(lz),
+                             gradient=lz.gradient, lb=lz.lb, ub=lz.ub)
+        sol_d, w_d = admm.mpc_solve(qp, st, mu=s.mu, warm_rho=warm.rho,
+                                    return_warm=True)
+        return sol_f.x, sol_d.x, w_f.rho, w_d.rho
+
+    xf, xd, rf, rd = jax.vmap(both)(scn)
+    # f64: the two formulations track to solver tolerance (fp order and
+    # the cost definition differ; both converge to the same optimum)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xd),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(rd),
+                               rtol=1e-6)
+    # polish demand fails loudly
+    with pytest.raises(ValueError, match="polish"):
+        lz = jax.tree.map(lambda a: a[0], jax.vmap(lazy_of)(scn))
+        warm = admm.WarmState(
+            x=jnp.zeros_like(lz.gradient), y=jnp.zeros_like(lz.lb),
+            rho=jnp.asarray(0.1, dtype), minv=jnp.eye(120, dtype=dtype))
+        admm.solve_segmented_fused(
+            lz, st._replace(polish=True), 0.3, warm)
